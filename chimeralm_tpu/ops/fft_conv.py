@@ -1,0 +1,97 @@
+"""Long-convolution primitives for Hyena on TPU.
+
+The Hyena operator's global convolution is an L-point linear convolution of
+each channel with an implicitly parameterized filter, computed as an
+FFT-domain pointwise product (reference behavior: the fftconv used by the
+HyenaDNA HF remote-code backbone; structural sketch in
+reference: chimeralm/models/components/striped_hyena.py:69-80).
+
+TPU notes
+---------
+* XLA's FFT is fastest on power-of-two sizes.  The torch reference uses
+  ``n = 2*L`` exactly; any ``n >= 2L-1`` computes the same *linear*
+  convolution (zero padding removes wrap-around), so we default to the next
+  power of two — identical math, TPU-friendly tiling.  With power-of-two
+  length buckets, ``2*L`` is already a power of two and the two choices
+  coincide.
+* FFTs run in float32 regardless of the compute dtype: bf16 FFTs lose too
+  much precision over 64k points, and XLA computes them in f32 anyway.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def fft_conv(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, pow2: bool = True) -> jnp.ndarray:
+    """Causal linear convolution ``y[t] = sum_s k[s] * u[t-s] + bias * u[t]``.
+
+    Args:
+        u: (..., D, L) input in any float dtype.
+        k: (D, L) filter (float32).
+        bias: (D,) per-channel passthrough gain.
+        pow2: round the FFT size up to a power of two (same math, faster).
+
+    Returns:
+        (..., D, L) in ``u.dtype``.
+    """
+    L = u.shape[-1]
+    fft_size = 2 * L
+    if pow2:
+        fft_size = _next_pow2(fft_size)
+    k_f = jnp.fft.rfft(k.astype(jnp.float32), n=fft_size) / fft_size
+    u_f = jnp.fft.rfft(u.astype(jnp.float32), n=fft_size)
+    y = jnp.fft.irfft(u_f * k_f, n=fft_size, norm="forward")[..., :L]
+    out = y + u.astype(jnp.float32) * bias[..., :, None]
+    return out.astype(u.dtype)
+
+
+def short_depthwise_conv(u: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None) -> jnp.ndarray:
+    """Causal depthwise conv over (B, C, L) with left padding ``W-1``.
+
+    Equivalent to the torch pattern ``Conv1d(C, C, W, padding=W-1, groups=C)``
+    followed by ``[..., :L]`` (the HyenaDNA short filter).
+
+    Args:
+        u: (B, C, L).
+        weight: (C, 1, W) torch-layout depthwise kernel.
+        bias: (C,) or None.
+    """
+    w = weight.shape[-1]
+    out = lax.conv_general_dilated(
+        u,
+        weight.astype(u.dtype),
+        window_strides=(1,),
+        padding=[(w - 1, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=u.shape[1],
+    )
+    if bias is not None:
+        out = out + bias.astype(u.dtype)[None, :, None]
+    return out
+
+
+def reference_conv_naive(u, k, bias):
+    """O(L^2) direct implementation for numerical tests (numpy-friendly)."""
+    import numpy as np
+
+    u = np.asarray(u, dtype=np.float64)
+    k = np.asarray(k, dtype=np.float64)
+    bias = np.asarray(bias, dtype=np.float64)
+    *lead, D, L = u.shape
+    out = np.zeros_like(u)
+    for t in range(L):
+        # y[t] = sum_{s<=t} k[s] u[t-s]
+        acc = np.zeros(u.shape[:-1])
+        for s in range(t + 1):
+            acc += k[..., s] * u[..., t - s]
+        out[..., t] = acc + bias * u[..., t]
+    return out

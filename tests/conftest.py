@@ -8,10 +8,16 @@ validates the multi-chip path the same way via ``__graft_entry__.dryrun_multichi
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The image's sitecustomize force-registers the axon TPU platform and
+# overwrites JAX_PLATFORMS; override it back after import, before backend init.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

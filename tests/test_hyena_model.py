@@ -1,0 +1,105 @@
+"""Hyena model tests: numerics, causality, converter, torch cross-validation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chimeralm_tpu.models.hyena import (
+    BinarySequenceClassifier,
+    HyenaBackbone,
+    HyenaDnaClassifier,
+    small_32k_config,
+    tiny_config,
+)
+from chimeralm_tpu.ops.fft_conv import fft_conv, reference_conv_naive
+
+
+def test_fft_conv_matches_naive():
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(2, 4, 37)).astype(np.float32)
+    k = rng.normal(size=(4, 37)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    y = np.asarray(fft_conv(jnp.asarray(u), jnp.asarray(k), jnp.asarray(b)))
+    y_naive = reference_conv_naive(u, k, b)
+    np.testing.assert_allclose(y, y_naive, atol=1e-4)
+    # power-of-two padding changes nothing (linear conv either way)
+    y_exact = np.asarray(fft_conv(jnp.asarray(u), jnp.asarray(k), jnp.asarray(b), pow2=False))
+    np.testing.assert_allclose(y, y_exact, atol=1e-4)
+
+
+def test_backbone_causality():
+    cfg = tiny_config()
+    bb = HyenaBackbone(cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 12, size=(2, 96)), dtype=jnp.int32)
+    params = bb.init(jax.random.PRNGKey(0), ids)
+    h1 = np.asarray(bb.apply(params, ids))
+    h2 = np.asarray(bb.apply(params, ids.at[:, 48:].set(4)))
+    np.testing.assert_allclose(h1[:, :48], h2[:, :48], atol=1e-5)
+    assert np.abs(h1[:, 48:] - h2[:, 48:]).max() > 1e-3
+
+
+def test_classifier_shapes_and_pooling_types():
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(3, 10, 32)).astype(np.float32))
+    for pooling in ("attention", "mean", "max", "cls"):
+        head = BinarySequenceClassifier(input_dim=32, hidden_dim=64, pooling_type=pooling)
+        params = head.init(jax.random.PRNGKey(0), h)
+        logits = head.apply(params, h)
+        assert logits.shape == (3, 2)
+
+
+def test_masked_pooling_padding_invariance():
+    """Right padding + mask => logits independent of pad amount (fast path)."""
+    cfg = tiny_config()
+    model = HyenaDnaClassifier(cfg)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(7, 12, size=(2, 50)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+
+    def run(pad_to):
+        padded = np.full((2, pad_to), 4, np.int32)
+        padded[:, :50] = ids
+        mask = np.zeros((2, pad_to), np.int32)
+        mask[:, :50] = 1
+        return np.asarray(model.apply(params, jnp.asarray(padded), attention_mask=jnp.asarray(mask)))
+
+    np.testing.assert_allclose(run(64), run(128), atol=2e-5)
+
+
+def test_small_32k_param_count():
+    cfg = small_32k_config()
+    model = HyenaDnaClassifier(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))
+    n = sum(x.size for x in jax.tree.leaves(params))
+    # HyenaDNA-small-32k backbone is ~3.3M params; head adds ~0.8M
+    assert 3_000_000 < n < 6_000_000, n
+
+
+@pytest.mark.slow
+def test_torch_mirror_cross_validation():
+    """Random torch state_dict -> converter -> Flax must match torch logits."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_mirror import TINY_CFG, ChimeraLMTorch
+
+    from chimeralm_tpu.models.convert import convert_state_dict, validate_against
+
+    torch.manual_seed(0)
+    tmodel = ChimeraLMTorch(TINY_CFG).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    cfg = tiny_config()
+    fmodel = HyenaDnaClassifier(cfg)
+    ids_np = np.random.default_rng(0).integers(0, 12, size=(2, 128)).astype(np.int32)
+    ref_params = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(ids_np))
+
+    converted = {"params": convert_state_dict(sd)}
+    problems = validate_against(converted["params"], ref_params["params"])
+    assert not problems, problems
+
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(ids_np).long()).numpy()
+    f_logits = np.asarray(fmodel.apply(converted, jnp.asarray(ids_np)))
+    np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)
