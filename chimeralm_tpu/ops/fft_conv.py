@@ -47,9 +47,21 @@ def fft_conv(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, pow2: bool = Tru
     fft_size = 2 * L
     if pow2:
         fft_size = _next_pow2(fft_size)
-    k_f = jnp.fft.rfft(k.astype(jnp.float32), n=fft_size) / fft_size
-    u_f = jnp.fft.rfft(u.astype(jnp.float32), n=fft_size)
-    y = jnp.fft.irfft(u_f * k_f, n=fft_size, norm="forward")[..., :L]
+    nf = fft_size // 2 + 1
+
+    # FFTs run on 2-D (rows, L) views: the reshape pins a canonical
+    # major-to-minor layout, which XLA:CPU's fft thunk requires when the
+    # channel dim is tensor-parallel-sharded (free on TPU).
+    lead = u.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    k_f = jnp.fft.rfft(k.astype(jnp.float32), n=fft_size, axis=-1) / fft_size
+    u_f = jnp.fft.rfft(u.astype(jnp.float32).reshape(rows, L), n=fft_size, axis=-1)
+    u_f = u_f.reshape(*lead, nf)
+    prod = (u_f * k_f).reshape(rows, nf)
+    y = jnp.fft.irfft(prod, n=fft_size, axis=-1, norm="forward")[..., :L]
+    y = y.reshape(*lead, L)
     out = y + u.astype(jnp.float32) * bias[..., :, None]
     return out.astype(u.dtype)
 

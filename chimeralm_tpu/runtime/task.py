@@ -1,0 +1,129 @@
+"""Classification task: jit/pjit train, eval, and predict steps.
+
+Replaces the reference LightningModule ``ClassificationLit``
+(reference: chimeralm/models/basic_module.py): cross-entropy loss over
+(B, 2) logits, argmax predictions, streaming F1/precision/recall, AdamW +
+plateau scheduler.  The steps are pure functions over an explicit
+``TrainState`` so they jit cleanly and shard over a mesh with XLA GSPMD
+(gradient/metric reduction becomes psum over ``dp`` automatically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from chimeralm_tpu.runtime.metrics import ConfusionCounts
+from chimeralm_tpu.runtime.optim import make_adamw
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: Any
+    params: Any
+    opt_state: Any
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+jax.tree_util.register_dataclass(TrainState, data_fields=["step", "params", "opt_state"], meta_fields=[])
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over valid rows (labels >= 0); matches torch CrossEntropyLoss."""
+    valid = labels >= 0
+    safe_labels = jnp.where(valid, labels, 0)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, safe_labels)
+    losses = jnp.where(valid, losses, 0.0)
+    return losses.sum() / jnp.maximum(valid.sum(), 1)
+
+
+class ClassificationTask:
+    """Model + optimizer + step functions."""
+
+    def __init__(
+        self,
+        model,
+        learning_rate: float = 1e-4,
+        weight_decay: float = 0.01,
+        optimizer: optax.GradientTransformation | None = None,
+        remat: bool = False,
+    ):
+        self.model = model
+        self.optimizer = optimizer or make_adamw(learning_rate, weight_decay)
+        self.remat = remat
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, rng, example_ids: jnp.ndarray) -> TrainState:
+        params = self.model.init(rng, example_ids)["params"]
+        opt_state = self.optimizer.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    # -- steps -------------------------------------------------------------
+    def _forward(self, params, batch, deterministic: bool, rngs=None):
+        return self.model.apply(
+            {"params": params},
+            batch["input_ids"],
+            attention_mask=batch.get("attention_mask"),
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+    def train_step(self, state: TrainState, batch: dict, dropout_rng) -> tuple[TrainState, dict]:
+        """One optimizer step; returns (new_state, metric parts)."""
+        step_rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            apply = self._forward
+            if self.remat:
+                apply = jax.checkpoint(apply, static_argnums=(2,))
+            logits = apply(params, batch, False, {"dropout": step_rng})
+            return cross_entropy_loss(logits, batch["labels"]), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        counts = ConfusionCounts.zero().update(preds, batch["labels"])
+        metrics = {"loss": loss, "counts": counts, "n": jnp.sum(batch["labels"] >= 0)}
+        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), metrics
+
+    def eval_step(self, params, batch: dict) -> dict:
+        logits = self._forward(params, batch, True)
+        loss = cross_entropy_loss(logits, batch["labels"])
+        preds = jnp.argmax(logits, axis=-1)
+        counts = ConfusionCounts.zero().update(preds, batch["labels"])
+        return {"loss": loss, "counts": counts, "n": jnp.sum(batch["labels"] >= 0), "logits": logits}
+
+    def predict_step(self, params, batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(logits, labels) — reference: basic_module.py:177-187."""
+        logits = self._forward(params, batch, True)
+        return logits, batch.get("labels")
+
+    # -- compiled variants -------------------------------------------------
+    def jit_steps(self):
+        """jit train/eval steps.
+
+        Mesh parallelism is driven by *argument placement*, not explicit
+        in_shardings: the trainer shards params with the tp rules
+        (``chimeralm_tpu.parallel.sharding.shard_params``) and batches over
+        dp; because ``optimizer.init`` runs on already-sharded params, the
+        Adam moments inherit the same shardings, and XLA GSPMD propagates
+        everything else (gradient reduction becomes a psum over dp).
+        """
+        return jax.jit(self.train_step, donate_argnums=(0,)), jax.jit(self.eval_step)
+
+    def sharded_state(self, rng, example_ids: jnp.ndarray, mesh) -> TrainState:
+        """Initialize a TrainState with params/opt-state placed on ``mesh``."""
+        from chimeralm_tpu.parallel.sharding import shard_params
+
+        params = self.model.init(rng, example_ids)["params"]
+        params = shard_params(params, mesh)
+        opt_state = self.optimizer.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
