@@ -178,7 +178,7 @@ def compose(
             if isinstance(sd, str):
                 sd = {sd: None}
             (g2, o2), = sd.items()
-            g2 = g2.lstrip("/").replace("override ", "")
+            g2 = g2.replace("override", "").strip().lstrip("/")
             if o2 is not None:
                 p2 = config_dir / g2 / f"{o2}.yaml"
                 s2, glob2 = _load_yaml(p2)

@@ -99,8 +99,19 @@ class Trainer:
             # mask derivable from PAD id; the task forwards it when present
             arrays["attention_mask"] = (arrays["input_ids"] != 4).astype(np.int32)
         if self.mesh is not None:
-            from chimeralm_tpu.parallel.mesh import shard_batch
+            from chimeralm_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
 
+            n_dp = int(np.prod(self.mesh.devices.shape[:1]))
+            extra = pad_batch_to_multiple(arrays["input_ids"].shape[0], n_dp)
+            if extra:
+                # pad rows with PAD tokens and ignore-labels: excluded from
+                # loss (valid mask) and from metric counts (IGNORE_INDEX)
+                def pad(k, v):
+                    widths = [(0, extra)] + [(0, 0)] * (v.ndim - 1)
+                    fill = {"input_ids": 4, "labels": -100, "attention_mask": 0}.get(k, 0)
+                    return np.pad(v, widths, constant_values=fill)
+
+                arrays = {k: pad(k, np.asarray(v)) for k, v in arrays.items()}
             arrays = shard_batch(arrays, self.mesh)
         return arrays
 

@@ -5,7 +5,7 @@ import warnings
 from pathlib import Path
 
 from chimeralm_tpu.utils.instantiate import instantiate, locate  # noqa: F401
-from chimeralm_tpu.utils.logging import (  # noqa: F401
+from chimeralm_tpu.utils.loggers import (  # noqa: F401
     RankedLogger,
     TensorBoardLogger,
     WandbLogger,

@@ -1,0 +1,94 @@
+"""Config composition + instantiation + entry-point tests."""
+
+import numpy as np
+import pytest
+
+from chimeralm_tpu.config import compose
+from chimeralm_tpu.utils import instantiate
+
+
+def test_compose_train_defaults():
+    cfg = compose("train")
+    assert cfg["task_name"] == "train"
+    assert cfg["data"]["_target_"].endswith("ParquetDataModule")
+    assert cfg["model"]["model"]["_target_"].endswith("HyenaDnaClassifier")
+    assert cfg["trainer"]["config"]["max_epochs"] == 100
+    # interpolation resolved
+    assert cfg["trainer"]["config"]["seed"] == 42
+    assert cfg["trainer"]["config"]["learning_rate"] == 1e-4
+    assert "logs" in cfg["paths"]["output_dir"]
+
+
+def test_compose_group_override():
+    cfg = compose("train", ["model=cnn", "data.batch_size=7", "seed=7"])
+    assert cfg["model"]["model"]["_target_"].endswith("DNAConvNet")
+    assert cfg["data"]["batch_size"] == 7
+    assert cfg["trainer"]["config"]["seed"] == 7
+
+
+def test_compose_experiment_overlay():
+    cfg = compose("train", ["experiment=hyena"])
+    assert cfg["tags"] == ["hyena", "fq"]
+    assert cfg["data"]["batch_size"] == 24
+    assert cfg["model"]["model"]["_target_"].endswith("HyenaDnaClassifier")
+
+
+def test_compose_debug_overlay():
+    cfg = compose("train", ["debug=fdr"])
+    assert cfg["trainer"]["config"]["fast_dev_run"] is True
+    assert cfg["task_name"] == "debug"
+
+
+def test_compose_add_and_delete():
+    cfg = compose("train", ["+data.extra_key=5", "~test"])
+    assert cfg["data"]["extra_key"] == 5
+    assert "test" not in cfg
+
+
+def test_instantiate_task_from_config():
+    cfg = compose("train", ["model=hyena"])
+    task = instantiate(cfg["model"])
+    from chimeralm_tpu.runtime.task import ClassificationTask
+
+    assert isinstance(task, ClassificationTask)
+    assert task.model.config.d_model == 256
+
+
+def test_train_entry_fast_dev_run(tmp_path):
+    """python train.py debug=fdr on the parquet fixture end-to-end."""
+    import train as train_entry
+
+    result = train_entry.main(
+        [
+            "debug=fdr",
+            "data.train_data_path=tests/data/tests.parquet",
+            "data.tokenizer.model_max_length=128",
+            "data.batch_size=8",
+            "data.num_workers=0",
+            "model.model.config._target_=chimeralm_tpu.models.hyena.tiny_config",
+            f"paths.root_dir={tmp_path}",
+            "test=false",
+            "extras.print_config=false",
+        ]
+    )
+    assert result is None or np.isfinite(result)
+
+
+def test_eval_entry_test_loop(tmp_path):
+    """train 1 epoch, then eval the saved checkpoint via eval.py."""
+    import eval as eval_entry
+    import train as train_entry
+
+    common = [
+        "data.train_data_path=tests/data/tests.parquet",
+        "data.tokenizer.model_max_length=128",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "model.model.config._target_=chimeralm_tpu.models.hyena.tiny_config",
+        f"paths.root_dir={tmp_path}",
+        "extras.print_config=false",
+    ]
+    train_entry.main(["debug=default", "test=false", *common])
+    ckpt = tmp_path / "logs/debug/runs/checkpoints/last.ckpt.msgpack"
+    assert ckpt.exists()
+    eval_entry.main([f"ckpt_path={ckpt}", *common])
