@@ -1,0 +1,136 @@
+"""CNN + Transformer encoder backbone in Flax.
+
+Reference: chimeralm/models/components/transformer.py — embedding ->
+3 x (conv+maxpool) for 8x length reduction -> sinusoidal positions ->
+2-layer post-norm transformer encoder (torch nn.TransformerEncoder
+defaults: ReLU feed-forward, post-LayerNorm) -> attention pooling ->
+classifier head.
+
+The encoder's self-attention runs through
+``chimeralm_tpu.ops.flash_attention``: a fused Pallas kernel on TPU for
+inference, the jnp reference path (differentiable) for training.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from chimeralm_tpu.ops.flash_attention import attention_reference, flash_attention
+
+
+def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
+    pe = np.zeros((max_len, d_model), np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class MultiHeadSelfAttention(nn.Module):
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        B, L, D = x.shape
+        dh = self.d_model // self.nhead
+        qkv = nn.Dense(3 * self.d_model, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, self.nhead, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        if deterministic:
+            out = flash_attention(q, k, v, mask)
+        else:
+            out = attention_reference(q, k, v, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = nn.Dense(self.d_model, name="out")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (torch defaults: ReLU FF)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = MultiHeadSelfAttention(self.d_model, self.nhead, self.dropout, name="self_attn")(
+            x, mask, deterministic
+        )
+        x = nn.LayerNorm(name="norm1")(x + attn)
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(x + ff)
+
+
+class SequenceCNNTransformer(nn.Module):
+    vocab_size: int = 12
+    max_len: int = 32768
+    d_model: int = 256
+    cnn_kernel_size: int = 3
+    dropout: float = 0.1
+    num_encoder_layers: int = 2
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    number_of_classes: int = 2
+    padding_idx: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        input_quals: jnp.ndarray | None = None,
+        attention_mask: jnp.ndarray | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = nn.Embed(self.vocab_size, self.d_model, name="embedding")(input_ids)
+        x = x * (input_ids != self.padding_idx)[..., None].astype(x.dtype)
+
+        # CNN stack: 3 x (conv + 2x maxpool) => 8x length reduction
+        for i in range(3):
+            x = nn.Conv(self.d_model, (self.cnn_kernel_size,), padding=1, name=f"cnn_{i}")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, window_shape=(2,), strides=(2,))
+
+        Lr = x.shape[1]
+        pe = jnp.asarray(sinusoidal_positions(self.max_len, self.d_model))[:Lr]
+        x = x + pe[None]
+        x = nn.LayerNorm(name="norm")(x)
+
+        mask_r = None
+        if attention_mask is not None:
+            # a downsampled window is valid if any source position was valid
+            m = attention_mask[:, : Lr * 8].reshape(attention_mask.shape[0], Lr, 8)
+            mask_r = (m.max(axis=-1) > 0).astype(jnp.int32)
+
+        for i in range(self.num_encoder_layers):
+            x = EncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layer_{i}"
+            )(x, mask_r, deterministic)
+
+        # attention pooling (reference: transformer.py:97-98)
+        w = nn.Dense(1, name="attn_pool")(x)
+        if mask_r is not None:
+            w = jnp.where(mask_r[..., None] > 0, w, -1e30)
+        w = nn.softmax(w, axis=1)
+        pooled = jnp.sum(w * x, axis=1)
+
+        h = nn.Dense(self.d_model // 2, name="cls_0")(pooled)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.number_of_classes, name="cls_1")(h)

@@ -27,12 +27,15 @@ class TrainState:
     step: Any
     params: Any
     opt_state: Any
+    model_state: Any = dataclasses.field(default_factory=dict)  # e.g. batch_stats
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
 
-jax.tree_util.register_dataclass(TrainState, data_fields=["step", "params", "opt_state"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["step", "params", "opt_state", "model_state"], meta_fields=[]
+)
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -61,19 +64,30 @@ class ClassificationTask:
 
     # -- state -------------------------------------------------------------
     def init_state(self, rng, example_ids: jnp.ndarray) -> TrainState:
-        params = self.model.init(rng, example_ids)["params"]
+        variables = dict(self.model.init(rng, example_ids))
+        params = variables.pop("params")
         opt_state = self.optimizer.init(params)
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            model_state=variables,
+        )
 
     # -- steps -------------------------------------------------------------
-    def _forward(self, params, batch, deterministic: bool, rngs=None):
-        return self.model.apply(
-            {"params": params},
+    def _forward(self, params, batch, deterministic: bool, rngs=None, model_state=None, mutable=False):
+        variables = {"params": params, **(model_state or {})}
+        out = self.model.apply(
+            variables,
             batch["input_ids"],
             attention_mask=batch.get("attention_mask"),
             deterministic=deterministic,
             rngs=rngs,
+            mutable=list(model_state) if (mutable and model_state) else False,
         )
+        if mutable and model_state:
+            return out  # (logits, new_model_state)
+        return out, dict(model_state or {})
 
     def train_step(self, state: TrainState, batch: dict, dropout_rng) -> tuple[TrainState, dict]:
         """One optimizer step; returns (new_state, metric parts)."""
@@ -83,27 +97,34 @@ class ClassificationTask:
             apply = self._forward
             if self.remat:
                 apply = jax.checkpoint(apply, static_argnums=(2,))
-            logits = apply(params, batch, False, {"dropout": step_rng})
-            return cross_entropy_loss(logits, batch["labels"]), logits
+            logits, new_ms = apply(
+                params, batch, False, {"dropout": step_rng}, state.model_state, True
+            )
+            return cross_entropy_loss(logits, batch["labels"]), (logits, new_ms)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (logits, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
         counts = ConfusionCounts.zero().update(preds, batch["labels"])
         metrics = {"loss": loss, "counts": counts, "n": jnp.sum(batch["labels"] >= 0)}
-        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), metrics
+        return (
+            state.replace(
+                step=state.step + 1, params=new_params, opt_state=new_opt, model_state=dict(new_ms)
+            ),
+            metrics,
+        )
 
-    def eval_step(self, params, batch: dict) -> dict:
-        logits = self._forward(params, batch, True)
+    def eval_step(self, params, batch: dict, model_state=None) -> dict:
+        logits, _ = self._forward(params, batch, True, model_state=model_state)
         loss = cross_entropy_loss(logits, batch["labels"])
         preds = jnp.argmax(logits, axis=-1)
         counts = ConfusionCounts.zero().update(preds, batch["labels"])
         return {"loss": loss, "counts": counts, "n": jnp.sum(batch["labels"] >= 0), "logits": logits}
 
-    def predict_step(self, params, batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def predict_step(self, params, batch: dict, model_state=None) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(logits, labels) — reference: basic_module.py:177-187."""
-        logits = self._forward(params, batch, True)
+        logits, _ = self._forward(params, batch, True, model_state=model_state)
         return logits, batch.get("labels")
 
     # -- compiled variants -------------------------------------------------
@@ -123,7 +144,12 @@ class ClassificationTask:
         """Initialize a TrainState with params/opt-state placed on ``mesh``."""
         from chimeralm_tpu.parallel.sharding import shard_params
 
-        params = self.model.init(rng, example_ids)["params"]
-        params = shard_params(params, mesh)
+        variables = dict(self.model.init(rng, example_ids))
+        params = shard_params(variables.pop("params"), mesh)
         opt_state = self.optimizer.init(params)
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            model_state=variables,
+        )

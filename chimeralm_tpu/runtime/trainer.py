@@ -133,6 +133,7 @@ class Trainer:
                 lambda x: np.asarray(x) if isinstance(x, (jnp.ndarray, np.ndarray)) else x,
                 state.opt_state,
             ),
+            "model_state": jax.tree.map(np.asarray, state.model_state),
             "step": int(state.step),
         }
         path = self.ckpt_dir / f"{tag}.ckpt.msgpack"
@@ -150,6 +151,7 @@ class Trainer:
         payload = {
             "params": jax.tree.map(np.asarray, state.params),
             "opt_state": state.opt_state,
+            "model_state": jax.tree.map(np.asarray, state.model_state),
             "step": int(state.step),
         }
         target = flax.serialization.to_state_dict(payload)
@@ -162,19 +164,20 @@ class Trainer:
             opt_state=flax.serialization.from_state_dict(
                 state.opt_state, flax.serialization.to_state_dict(restored["opt_state"])
             ),
+            model_state=jax.tree.map(jnp.asarray, restored.get("model_state", {})),
         )
         meta_path = path.with_suffix("").with_suffix(".meta.json")
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         return new_state, meta
 
     # -- loops -------------------------------------------------------------
-    def _run_eval(self, params, batches, limit: int | None, prefix: str, extra_metrics: bool = False) -> dict:
+    def _run_eval(self, params, batches, limit: int | None, prefix: str, extra_metrics: bool = False, model_state=None) -> dict:
         counts = ConfusionCounts.zero()
         loss = MeanState.zero()
         for i, batch in enumerate(batches):
             if limit is not None and i >= limit:
                 break
-            out = self._eval_step(params, self._place(batch))
+            out = self._eval_step(params, self._place(batch), model_state)
             counts = counts.merge(out["counts"])
             loss = loss.update(out["loss"], out["n"])
         metrics = {
@@ -248,7 +251,9 @@ class Trainer:
                 "lr": scheduler.lr,
             }
 
-            val_metrics = self._run_eval(state.params, datamodule.val_batches(), limit_val, "val")
+            val_metrics = self._run_eval(
+                state.params, datamodule.val_batches(), limit_val, "val", model_state=state.model_state
+            )
             val_f1_best = max(val_f1_best, val_metrics["val/f1"])
             val_metrics["val/f1_best"] = val_f1_best
 
@@ -292,17 +297,18 @@ class Trainer:
 
         return state
 
-    def test(self, params, datamodule) -> dict:
+    def test(self, params, datamodule, model_state=None) -> dict:
         datamodule.setup("test")
         metrics = self._run_eval(
-            params, datamodule.test_batches(), self.config.limit_test_batches, "test", extra_metrics=True
+            params, datamodule.test_batches(), self.config.limit_test_batches, "test",
+            extra_metrics=True, model_state=model_state,
         )
         self._log(metrics, -1)
         logger.info("test: %s", metrics)
         return metrics
 
-    def validate(self, params, datamodule) -> dict:
+    def validate(self, params, datamodule, model_state=None) -> dict:
         datamodule.setup("validate")
-        metrics = self._run_eval(params, datamodule.val_batches(), None, "val")
+        metrics = self._run_eval(params, datamodule.val_batches(), None, "val", model_state=model_state)
         self._log(metrics, -1)
         return metrics

@@ -100,7 +100,7 @@ def train(cfg: dict) -> tuple[dict, dict]:
             params = state.params
             log.info(f"Best ckpt path: {trainer.best_ckpt_path}")
         if params is not None:
-            trainer.test(params, datamodule)
+            trainer.test(params, datamodule, model_state=state.model_state if state else None)
     metric_dict.update(trainer.callback_metrics)
     return metric_dict, object_dict
 
