@@ -123,10 +123,10 @@ class PredictEngine:
         return ids, sidecar
 
     # -- batch assembly ----------------------------------------------------
-    def _iter_parity_batches(self, reads: Iterable[dict]) -> Iterator[dict]:
+    def _iter_parity_batches(self, pairs: Iterable[tuple]) -> Iterator[dict]:
         batch: list[tuple[np.ndarray, np.ndarray]] = []
-        for read in reads:
-            batch.append(self._encode(read))
+        for pair in pairs:
+            batch.append(pair)
             if len(batch) == self.config.batch_size:
                 yield self._pack_parity(batch)
                 batch = []
@@ -152,11 +152,10 @@ class PredictEngine:
                 return b
         return self.config.buckets[-1]
 
-    def _iter_fast_batches(self, reads: Iterable[dict]) -> Iterator[dict]:
+    def _iter_fast_batches(self, pairs: Iterable[tuple]) -> Iterator[dict]:
         pending: dict[int, list] = {b: [] for b in self.config.buckets}
         B = self.config.batch_size
-        for read in reads:
-            ids, sc = self._encode(read)
+        for ids, sc in pairs:
             bucket = self._bucket_for(len(ids))
             pending[bucket].append((ids, sc))
             if len(pending[bucket]) == B:
@@ -191,18 +190,35 @@ class PredictEngine:
         num_shards: int = 1,
     ) -> PredictStats:
         """Run inference over ``{"id", "seq"}`` dicts; returns throughput stats."""
+        return self.predict_encoded(
+            (self._encode(r) for r in reads),
+            writers=writers,
+            output_dir=output_dir,
+            shard_index=shard_index,
+            num_shards=num_shards,
+        )
+
+    def predict_encoded(
+        self,
+        pairs: Iterable[tuple],
+        writers: list | None = None,
+        output_dir: str | Path | None = None,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ) -> PredictStats:
+        """Run inference over pre-tokenized (ids, sidecar) pairs."""
         if writers is None:
             if output_dir is None:
                 raise ValueError("need writers or output_dir")
             writers = [PredictionWriter(output_dir, rank=self.rank)]
 
         if num_shards > 1:
-            reads = (r for i, r in enumerate(reads) if i % num_shards == shard_index)
+            pairs = (r for i, r in enumerate(pairs) if i % num_shards == shard_index)
 
         batches = (
-            self._iter_parity_batches(reads)
+            self._iter_parity_batches(pairs)
             if self.config.mode == "parity"
-            else self._iter_fast_batches(reads)
+            else self._iter_fast_batches(pairs)
         )
 
         stats = PredictStats()
@@ -248,7 +264,18 @@ class PredictEngine:
         )
         return stats
 
-    def predict_bam(self, bam_path: str | Path, output_dir: str | Path, **kw) -> PredictStats:
+    def predict_bam(
+        self, bam_path: str | Path, output_dir: str | Path, use_native: bool | None = None, **kw
+    ) -> PredictStats:
+        """BAM inference; prefers the C++ streaming tokenizer when built."""
+        from chimeralm_tpu.io import native
+
+        if use_native is None:
+            use_native = native.available()
+        if use_native:
+            tok = native.NativeBamTokenizer(bam_path, max_len=self._max_length(), threads=4)
+            with tok:
+                return self.predict_encoded(iter(tok), output_dir=output_dir, **kw)
         from chimeralm_tpu.io.bam import iter_chimeric_reads
 
         return self.predict(iter_chimeric_reads(bam_path), output_dir=output_dir, **kw)
