@@ -1,0 +1,153 @@
+"""Tests for the scripts/ pipeline ports, explain module, and UI predictor."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+
+from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = HyenaDnaClassifier(tiny_config())
+    params = model.init(jax.random.PRNGKey(0), np.zeros((1, 64), np.int32))["params"]
+    return model, params
+
+
+def test_data_select_script(tmp_path):
+    import data as data_script
+
+    sup = tmp_path / "sup.txt"
+    lines = [f"pos_{i}\t0" for i in range(30)] + [f"neg_{i}\t{1 + i % 3}" for i in range(30)]
+    sup.write_text("\n".join(lines) + "\n")
+    data_script.select(str(sup), str(tmp_path / "out"), total_data=40, seed=0)
+    train = (tmp_path / "out/train.txt").read_text().strip().splitlines()
+    val = (tmp_path / "out/validation.txt").read_text().strip().splitlines()
+    test = (tmp_path / "out/test.txt").read_text().strip().splitlines()
+    assert len(train) + len(val) + len(test) == 40
+    n_pos = sum(1 for l in train + val + test if l.endswith("True"))
+    assert n_pos == 24  # 60% positive
+    for line in train:
+        name, flag = line.split("\t")
+        assert (flag == "True") == name.startswith("pos_")
+
+
+def test_extract_script(tmp_path):
+    import extract as extract_script
+
+    from chimeralm_tpu.io.fastq import read_fastq
+
+    recs = list(read_fastq("tests/data/test.fastq"))
+    (tmp_path / "train.txt").write_text(f"{recs[0].name}\tTrue\n{recs[1].name}\tFalse\n")
+    (tmp_path / "validation.txt").write_text(f"{recs[2].name}\tTrue\n")
+    (tmp_path / "test.txt").write_text(f"{recs[3].name}\tFalse\n")
+    stats = extract_script.extract(
+        "tests/data/test.fastq",
+        str(tmp_path / "train.txt"),
+        str(tmp_path / "validation.txt"),
+        str(tmp_path / "test.txt"),
+        str(tmp_path),
+    )
+    assert stats["train"] == 2 and stats["validation"] == 1 and stats["test"] == 1
+    out = list(read_fastq(tmp_path / "train.fastq"))
+    assert out[0].name == recs[0].name + "|1"
+    assert out[1].name == recs[1].name + "|0"
+
+
+def test_get_result_scripts(tmp_path):
+    import get_result_from_predictions as grp
+
+    from chimeralm_tpu.data.tokenizer import encode_read_id
+    from chimeralm_tpu.runtime.writers import CustomWriter
+
+    # raw-dump path
+    w = CustomWriter(tmp_path / "dumps")
+    logits = np.asarray([[0.1, 0.9], [2.0, 0.0]])
+    ids = np.asarray([encode_read_id("readA"), encode_read_id("readB")], np.int64)
+    w.write_batch(logits, [-1, -1], ids, 0)
+    total, ones = grp.from_dumps(tmp_path / "dumps", tmp_path / "out.txt")
+    assert (total, ones) == (2, 1)
+    assert "readA\t1" in (tmp_path / "out.txt").read_text()
+
+    # txt-collect path
+    (tmp_path / "txts").mkdir()
+    (tmp_path / "txts/0_0.txt").write_text("a\t0\n")
+    (tmp_path / "txts/0_1.txt").write_text("b\t1\n")
+    out = grp.collect(tmp_path / "txts", tmp_path / "collected.txt")
+    assert sorted(out.read_text().strip().splitlines()) == ["a\t0", "b\t1"]
+
+
+def test_export_model_roundtrip(tmp_path, tiny):
+    """export -> safetensors -> convert must reproduce the params."""
+    import export_model
+
+    from chimeralm_tpu.models.convert import convert_checkpoint, validate_against
+    from chimeralm_tpu.models.lm import LoadedModel, save_pretrained
+
+    model, params = tiny
+    loaded = LoadedModel(model, params, tiny_config())
+    save_pretrained(loaded, tmp_path / "export")
+    export_model._export_safetensors(params, tmp_path / "export/model.safetensors")
+
+    converted = convert_checkpoint(tmp_path / "export/model.safetensors")
+    problems = validate_against(converted, params)
+    assert not problems, problems[:5]
+    flat_a = jax.tree.leaves(converted)
+    flat_b = jax.tree.leaves(params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_explain_importance(tiny):
+    from chimeralm_tpu.data.tokenizer import CharacterTokenizer
+    from chimeralm_tpu.explain import ModelAnalyzer, analyze_sequence
+
+    model, params = tiny
+    tok = CharacterTokenizer(model_max_length=256)
+    analyzer = ModelAnalyzer(model, params, tok)
+    seq = "ACGT" * 30
+    probs = analyzer.predict_proba(seq)
+    assert probs.shape == (2,) and abs(probs.sum() - 1) < 1e-5
+
+    res = analyzer.position_importance(seq, window_size=16, stride=16)
+    assert len(res.positions) == len(res.importance)
+    assert np.isfinite(res.importance).all()
+
+    windows = analyzer.find_important_windows(seq, window_size=16, top_k=3)
+    assert len(windows) == 3
+    assert all(set(w["subsequence"]) <= set("ACGTN") for w in windows)
+
+    report = analyze_sequence(model, params, seq, tok, window_size=16, top_k=2)
+    assert report["predicted_class"] in (0, 1)
+    assert len(report["important_windows"]) == 2
+
+    acts = analyzer.capture_activations("ACGT" * 10)
+    assert acts  # intermediates captured without hooks
+
+
+def test_ui_predictor(tiny, tmp_path):
+    from chimeralm_tpu.models.lm import LoadedModel
+    from chimeralm_tpu.ui import ChimeraLMPredictor
+
+    model, params = tiny
+    pred = ChimeraLMPredictor(loaded=LoadedModel(model, params, tiny_config()))
+    ok, msg = pred.validate_sequence("ACGTxx")
+    assert not ok and "Invalid characters" in msg
+    out = pred.predict("ACGT" * 20)
+    assert out["verdict"] in ("Biological", "Chimera artifact")
+    assert abs(sum(out["probabilities"].values()) - 1) < 1e-5
+    assert pred.predict("")["error"] == "Empty sequence"
+
+
+def test_read_len_script(capsys):
+    import read_len
+
+    read_len.cmd_bam(Path("tests/data/test_chimric_reads.bam"), min_mapq=0)
+    out = capsys.readouterr().out
+    assert "n=100" in out
