@@ -29,7 +29,7 @@ BAM = REPO / "tests/data/test_chimric_reads.bam"
 CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 
 
-def build_engine(dtype: str, batch_size: int):
+def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2):
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +41,10 @@ def build_engine(dtype: str, batch_size: int):
     model = HyenaDnaClassifier(config)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128), jnp.int32))["params"]
     tokenizer = load_tokenizer_from_hyena_model("hyenadna-small-32k-seqlen")
-    cfg = PredictConfig(batch_size=batch_size, mode="fast", dtype=dtype)
+    cfg = PredictConfig(
+        batch_size=batch_size, mode="fast", dtype=dtype,
+        tokens_per_batch=tokens_per_batch, pipeline_depth=pipeline_depth,
+    )
     return PredictEngine(model, params, tokenizer, cfg)
 
 
@@ -55,7 +58,8 @@ def warmup_reads_for_buckets(engine) -> list[dict]:
     out = []
     for bucket in engine.config.buckets:
         seq = "ACGT" * (max(bucket - 2, 4) // 4)
-        out.extend({"id": f"warm_{bucket}_{i}", "seq": seq} for i in range(engine.config.batch_size))
+        rows = engine._rows_for_bucket(bucket)
+        out.extend({"id": f"warm_{bucket}_{i}", "seq": seq} for i in range(rows))
     return out
 
 
@@ -105,6 +109,8 @@ def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=300)
+    parser.add_argument("--tokens-per-batch", type=int, default=262144)
+    parser.add_argument("--pipeline-depth", type=int, default=4)
     parser.add_argument("--cpu-reads", type=int, default=25)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--dtype", default="bfloat16")
@@ -115,7 +121,7 @@ def main() -> int:
 
     baseline = cpu_baseline(args.cpu_reads, refresh=args.refresh_cpu)
 
-    engine = build_engine(args.dtype, args.batch_size)
+    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch, args.pipeline_depth)
     reads = load_reads(args.reads)
     rps = measure(engine, reads)
 

@@ -81,7 +81,13 @@ def filter_bam_by_prediction(
 
     output_path = bam_path.with_suffix(".filtered.bam")
     try:
-        filter_bam(bam_path, predictions, output_path, threads=threads)
+        from chimeralm_tpu.io import native
+
+        if native.available():
+            drop = [n for n, label in predictions.items() if label == 1]
+            native.filter_bam_native(bam_path, output_path, drop, threads=threads)
+        else:
+            filter_bam(bam_path, predictions, output_path, threads=threads)
     except Exception:
         if output_path.exists():
             output_path.unlink()

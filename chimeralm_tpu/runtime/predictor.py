@@ -57,6 +57,12 @@ class PredictConfig:
     dtype: str = "float32"  # "float32" | "bfloat16"
     max_length: int | None = None  # defaults to tokenizer.max_len_single_sentence
     pad_batch: bool = True  # pad final partial batches to full size (fast mode)
+    # fast mode: per-bucket batch rows = tokens_per_batch // bucket (keeps
+    # device work per dispatch roughly constant and amortizes dispatch
+    # latency on short reads); None = fixed batch_size for every bucket
+    tokens_per_batch: int | None = None
+    max_rows: int = 512
+    pipeline_depth: int = 2  # batches in flight before blocking on D2H
 
 
 @dataclasses.dataclass
@@ -152,13 +158,21 @@ class PredictEngine:
                 return b
         return self.config.buckets[-1]
 
+    def _rows_for_bucket(self, bucket: int) -> int:
+        cfg = self.config
+        if cfg.tokens_per_batch is None:
+            return cfg.batch_size
+        rows = max(1, cfg.tokens_per_batch // bucket)
+        rows = min(rows, cfg.max_rows)
+        rows += pad_batch_to_multiple(rows, self._n_dp)
+        return rows
+
     def _iter_fast_batches(self, pairs: Iterable[tuple]) -> Iterator[dict]:
         pending: dict[int, list] = {b: [] for b in self.config.buckets}
-        B = self.config.batch_size
         for ids, sc in pairs:
             bucket = self._bucket_for(len(ids))
             pending[bucket].append((ids, sc))
-            if len(pending[bucket]) == B:
+            if len(pending[bucket]) == self._rows_for_bucket(bucket):
                 yield self._pack_fast(pending[bucket], bucket)
                 pending[bucket] = []
         for bucket, batch in pending.items():
@@ -169,7 +183,7 @@ class PredictEngine:
         valid = len(batch)
         rows = valid
         if self.config.pad_batch:
-            rows = self.config.batch_size
+            rows = self._rows_for_bucket(bucket)
         rows += pad_batch_to_multiple(rows, self._n_dp)
         input_ids = np.full((rows, bucket), PAD_ID, np.int32)
         mask = np.zeros((rows, bucket), np.int32)
@@ -223,7 +237,7 @@ class PredictEngine:
 
         stats = PredictStats()
         start = time.perf_counter()
-        inflight: tuple | None = None  # (logits_device, batch, batch_idx)
+        inflight: list[tuple] = []  # (logits_device, batch, batch_idx)
 
         def drain(item):
             logits_dev, batch, idx = item
@@ -231,6 +245,7 @@ class PredictEngine:
             for w in writers:
                 w.write_batch(logits, batch["id"], idx, valid=batch["valid"])
 
+        depth = max(1, self.config.pipeline_depth)
         for batch_idx, batch in enumerate(batches):
             device_in = {"input_ids": batch["input_ids"]}
             if batch["mask"] is not None:
@@ -240,10 +255,10 @@ class PredictEngine:
                 logits = self._forward(self.params, device_in["input_ids"], device_in["attention_mask"])
             else:
                 logits = self._forward_nomask(self.params, device_in["input_ids"])
-            # two-deep pipeline: convert previous batch while this one runs
-            if inflight is not None:
-                drain(inflight)
-            inflight = (logits, batch, batch_idx)
+            # async pipeline: keep `depth` batches in flight, drain the oldest
+            inflight.append((logits, batch, batch_idx))
+            if len(inflight) > depth:
+                drain(inflight.pop(0))
 
             stats.n_reads += batch["valid"]
             stats.n_batches += 1
@@ -253,8 +268,8 @@ class PredictEngine:
                 - (batch["mask"].sum() if batch["mask"] is not None else 0)
             )
 
-        if inflight is not None:
-            drain(inflight)
+        for item in inflight:
+            drain(item)
         stats.wall_s = time.perf_counter() - start
         logger.info(
             "predict: %d reads in %d batches, %.2f reads/s",
