@@ -29,7 +29,7 @@ BAM = REPO / "tests/data/test_chimric_reads.bam"
 CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 
 
-def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2):
+def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2, io_workers=2):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +44,7 @@ def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_de
     cfg = PredictConfig(
         batch_size=batch_size, mode="fast", dtype=dtype,
         tokens_per_batch=tokens_per_batch, pipeline_depth=pipeline_depth,
+        io_workers=io_workers,
     )
     return PredictEngine(model, params, tokenizer, cfg)
 
@@ -109,8 +110,9 @@ def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=300)
-    parser.add_argument("--tokens-per-batch", type=int, default=262144)
-    parser.add_argument("--pipeline-depth", type=int, default=4)
+    parser.add_argument("--tokens-per-batch", type=int, default=1048576)
+    parser.add_argument("--pipeline-depth", type=int, default=8)
+    parser.add_argument("--io-workers", type=int, default=4)
     parser.add_argument("--cpu-reads", type=int, default=25)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--dtype", default="bfloat16")
@@ -118,10 +120,14 @@ def main() -> int:
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     baseline = cpu_baseline(args.cpu_reads, refresh=args.refresh_cpu)
 
-    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch, args.pipeline_depth)
+    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch, args.pipeline_depth, args.io_workers)
     reads = load_reads(args.reads)
     rps = measure(engine, reads)
 

@@ -121,7 +121,15 @@ def cmd_predict(args: argparse.Namespace) -> int:
         loaded = ChimeraLM.from_pretrained(args.ckpt)
     else:
         log.info("Loading model from local checkpoint mirror (%s)", ChimeraLM.DEFAULT_NAME)
-        loaded = ChimeraLM.from_pretrained()
+        try:
+            loaded = ChimeraLM.from_pretrained()
+        except FileNotFoundError:
+            log.warning(
+                "No pretrained checkpoint found (set CHIMERALM_CHECKPOINT_DIR or pass "
+                "--ckpt); falling back to a random-initialized model — predictions "
+                "are NOT meaningful, this mode only exercises the pipeline."
+            )
+            loaded = ChimeraLM.new(seed=42)
 
     n_devices = len(jax.devices())
     use = min(args.devices, n_devices) if args.devices > 0 else 1

@@ -61,8 +61,9 @@ class PredictConfig:
     # device work per dispatch roughly constant and amortizes dispatch
     # latency on short reads); None = fixed batch_size for every bucket
     tokens_per_batch: int | None = None
-    max_rows: int = 512
+    max_rows: int = 1024
     pipeline_depth: int = 2  # batches in flight before blocking on D2H
+    io_workers: int = 2  # threads fetching/writing results (hides D2H latency)
 
 
 @dataclasses.dataclass
@@ -237,39 +238,47 @@ class PredictEngine:
 
         stats = PredictStats()
         start = time.perf_counter()
-        inflight: list[tuple] = []  # (logits_device, batch, batch_idx)
 
         def drain(item):
             logits_dev, batch, idx = item
-            logits = np.asarray(logits_dev)
+            logits = np.asarray(logits_dev)  # D2H fetch (the latency-bound step)
             for w in writers:
                 w.write_batch(logits, batch["id"], idx, valid=batch["valid"])
 
+        # D2H fetches each pay a full host<->device roundtrip; running them on
+        # a small thread pool overlaps the roundtrips with dispatch and with
+        # each other (writers get distinct batch_idx files, order-free).
+        from concurrent.futures import ThreadPoolExecutor
+
         depth = max(1, self.config.pipeline_depth)
-        for batch_idx, batch in enumerate(batches):
-            device_in = {"input_ids": batch["input_ids"]}
-            if batch["mask"] is not None:
-                device_in["attention_mask"] = batch["mask"]
-            device_in = shard_batch(device_in, self.mesh)
-            if batch["mask"] is not None:
-                logits = self._forward(self.params, device_in["input_ids"], device_in["attention_mask"])
-            else:
-                logits = self._forward_nomask(self.params, device_in["input_ids"])
-            # async pipeline: keep `depth` batches in flight, drain the oldest
-            inflight.append((logits, batch, batch_idx))
-            if len(inflight) > depth:
-                drain(inflight.pop(0))
+        pool = ThreadPoolExecutor(max_workers=max(1, self.config.io_workers))
+        futures = []
+        try:
+            for batch_idx, batch in enumerate(batches):
+                device_in = {"input_ids": batch["input_ids"]}
+                if batch["mask"] is not None:
+                    device_in["attention_mask"] = batch["mask"]
+                device_in = shard_batch(device_in, self.mesh)
+                if batch["mask"] is not None:
+                    logits = self._forward(self.params, device_in["input_ids"], device_in["attention_mask"])
+                else:
+                    logits = self._forward_nomask(self.params, device_in["input_ids"])
+                futures.append(pool.submit(drain, (logits, batch, batch_idx)))
+                # bound the number of device buffers alive
+                while len(futures) > depth:
+                    futures.pop(0).result()
 
-            stats.n_reads += batch["valid"]
-            stats.n_batches += 1
-            stats.n_tokens += int(batch["input_ids"].shape[0] * batch["input_ids"].shape[1])
-            stats.n_padded_tokens += int(
-                batch["input_ids"].shape[0] * batch["input_ids"].shape[1]
-                - (batch["mask"].sum() if batch["mask"] is not None else 0)
-            )
-
-        for item in inflight:
-            drain(item)
+                stats.n_reads += batch["valid"]
+                stats.n_batches += 1
+                stats.n_tokens += int(batch["input_ids"].shape[0] * batch["input_ids"].shape[1])
+                stats.n_padded_tokens += int(
+                    batch["input_ids"].shape[0] * batch["input_ids"].shape[1]
+                    - (batch["mask"].sum() if batch["mask"] is not None else 0)
+                )
+            for f in futures:
+                f.result()
+        finally:
+            pool.shutdown(wait=True)
         stats.wall_s = time.perf_counter() - start
         logger.info(
             "predict: %d reads in %d batches, %.2f reads/s",
