@@ -367,15 +367,23 @@ class HyenaDnaClassifier(nn.Module):
         return self.head(h, attention_mask, deterministic=deterministic)
 
 
+def _resolve_dtype(overrides: dict) -> dict:
+    # allow YAML-friendly dtype strings ("bfloat16"/"float32")
+    dtype = overrides.get("dtype")
+    if isinstance(dtype, str):
+        overrides["dtype"] = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+    return overrides
+
+
 def small_32k_config(**overrides) -> HyenaConfig:
     """hyenadna-small-32k-seqlen: d_model=256, 4 layers, 32k context."""
     base = dict(d_model=256, n_layer=4, d_inner=1024, max_seq_len=32768)
-    base.update(overrides)
+    base.update(_resolve_dtype(overrides))
     return HyenaConfig(**base)
 
 
 def tiny_config(**overrides) -> HyenaConfig:
     """A miniature config for tests (fast CPU compile)."""
     base = dict(d_model=32, n_layer=2, d_inner=64, max_seq_len=512, filter_order=16)
-    base.update(overrides)
+    base.update(_resolve_dtype(overrides))
     return HyenaConfig(**base)
