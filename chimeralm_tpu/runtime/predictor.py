@@ -105,15 +105,30 @@ class PredictEngine:
 
         dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
 
+        # all compiled forwards emit logits padded to one fixed row count, so
+        # grouped result fetches concatenate identical shapes (single compile)
+        if self.config.mode == "fast" and self.config.tokens_per_batch is not None:
+            self._fixed_rows = max(self._rows_for_bucket(b) for b in self.config.buckets)
+        else:
+            self._fixed_rows = self.config.batch_size
+
+        def pad_rows(logits):
+            rows = logits.shape[0]
+            if rows >= self._fixed_rows:
+                return logits
+            return jnp.pad(logits, ((0, self._fixed_rows - rows), (0, 0)))
+
         def forward(params, input_ids, attention_mask):
             variables = {"params": params}
-            return self.model.apply(
+            out = self.model.apply(
                 variables, input_ids, attention_mask=attention_mask, deterministic=True
             ).astype(jnp.float32)
+            return pad_rows(out)
 
         def forward_nomask(params, input_ids):
             variables = {"params": params}
-            return self.model.apply(variables, input_ids, deterministic=True).astype(jnp.float32)
+            out = self.model.apply(variables, input_ids, deterministic=True).astype(jnp.float32)
+            return pad_rows(out)
 
         self._forward = jax.jit(forward)
         self._forward_nomask = jax.jit(forward_nomask)
@@ -239,46 +254,51 @@ class PredictEngine:
         stats = PredictStats()
         start = time.perf_counter()
 
-        def drain(item):
-            logits_dev, batch, idx = item
-            logits = np.asarray(logits_dev)  # D2H fetch (the latency-bound step)
-            for w in writers:
-                w.write_batch(logits, batch["id"], idx, valid=batch["valid"])
+        # Each host<->device fetch pays a full roundtrip (the dominant cost
+        # behind a relayed TPU).  Dispatch stays fully async; results are
+        # fetched in *groups*: logits of `pipeline_depth` batches are
+        # concatenated on-device and pulled with a single transfer, then
+        # split host-side for the writers.
+        inflight: list[tuple] = []  # (logits_dev, batch, batch_idx)
 
-        # D2H fetches each pay a full host<->device roundtrip; running them on
-        # a small thread pool overlaps the roundtrips with dispatch and with
-        # each other (writers get distinct batch_idx files, order-free).
-        from concurrent.futures import ThreadPoolExecutor
+        def flush():
+            if not inflight:
+                return
+            if len(inflight) == 1:
+                merged = np.asarray(inflight[0][0])
+            else:
+                merged = np.asarray(jnp.concatenate([l for l, _b, _i in inflight], axis=0))
+            off = 0
+            for logits_dev, batch, idx in inflight:
+                rows = logits_dev.shape[0]
+                logits = merged[off : off + rows]
+                off += rows
+                for w in writers:
+                    w.write_batch(logits, batch["id"], idx, valid=batch["valid"])
+            inflight.clear()
 
         depth = max(1, self.config.pipeline_depth)
-        pool = ThreadPoolExecutor(max_workers=max(1, self.config.io_workers))
-        futures = []
-        try:
-            for batch_idx, batch in enumerate(batches):
-                device_in = {"input_ids": batch["input_ids"]}
-                if batch["mask"] is not None:
-                    device_in["attention_mask"] = batch["mask"]
-                device_in = shard_batch(device_in, self.mesh)
-                if batch["mask"] is not None:
-                    logits = self._forward(self.params, device_in["input_ids"], device_in["attention_mask"])
-                else:
-                    logits = self._forward_nomask(self.params, device_in["input_ids"])
-                futures.append(pool.submit(drain, (logits, batch, batch_idx)))
-                # bound the number of device buffers alive
-                while len(futures) > depth:
-                    futures.pop(0).result()
+        for batch_idx, batch in enumerate(batches):
+            device_in = {"input_ids": batch["input_ids"]}
+            if batch["mask"] is not None:
+                device_in["attention_mask"] = batch["mask"]
+            device_in = shard_batch(device_in, self.mesh)
+            if batch["mask"] is not None:
+                logits = self._forward(self.params, device_in["input_ids"], device_in["attention_mask"])
+            else:
+                logits = self._forward_nomask(self.params, device_in["input_ids"])
+            inflight.append((logits, batch, batch_idx))
+            if len(inflight) >= depth:
+                flush()
 
-                stats.n_reads += batch["valid"]
-                stats.n_batches += 1
-                stats.n_tokens += int(batch["input_ids"].shape[0] * batch["input_ids"].shape[1])
-                stats.n_padded_tokens += int(
-                    batch["input_ids"].shape[0] * batch["input_ids"].shape[1]
-                    - (batch["mask"].sum() if batch["mask"] is not None else 0)
-                )
-            for f in futures:
-                f.result()
-        finally:
-            pool.shutdown(wait=True)
+            stats.n_reads += batch["valid"]
+            stats.n_batches += 1
+            stats.n_tokens += int(batch["input_ids"].shape[0] * batch["input_ids"].shape[1])
+            stats.n_padded_tokens += int(
+                batch["input_ids"].shape[0] * batch["input_ids"].shape[1]
+                - (batch["mask"].sum() if batch["mask"] is not None else 0)
+            )
+        flush()
         stats.wall_s = time.perf_counter() - start
         logger.info(
             "predict: %d reads in %d batches, %.2f reads/s",
