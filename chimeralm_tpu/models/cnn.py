@@ -49,14 +49,14 @@ class DNAConvNet(nn.Module):
             zip(self.num_filters, self.kernel_sizes, self.pool_sizes)
         ):
             x = nn.Conv(filters, kernel_size=(kernel,), padding="SAME", name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=deterministic, name=f"bn_{i}")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name=f"bn_{i}")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.max_pool(x, window_shape=(pool,), strides=(pool,))
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         x = x.mean(axis=1)  # AdaptiveAvgPool1d(1)
         x = nn.Dense(self.hidden_dim, name="fc_0")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, name="fc_bn")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="fc_bn")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.number_of_classes, name="fc_1")(x)

@@ -33,20 +33,31 @@ def revcomp(seq: str) -> str:
     return "".join(COMP[c] for c in reversed(seq))
 
 
+#: random-hexamer-primer adapter left at WGA chimera junctions
+ADAPTER = "GTTTCCCAGTCACGATCAAC"
+
+
 def make_read(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000) -> str:
     n = int(rng.integers(min_len, max_len))
     if not chimeric:
         return _random_seq(rng, n)
-    # chimera: prefix A, then revcomp of A's tail, then fresh sequence
+    # chimera: prefix A, junction adapter, revcomp of A's tail, continuation
     a_len = n // 2
     prefix = _random_seq(rng, a_len)
-    tail_len = int(rng.integers(a_len // 4, a_len // 2))
-    junction = revcomp(prefix[-tail_len:])
-    rest = _random_seq(rng, max(n - a_len - tail_len, 10))
+    tail_len = min(int(rng.integers(20, max(a_len // 2, 21))), a_len)
+    junction = ADAPTER + revcomp(prefix[-tail_len:])
+    rest = _random_seq(rng, max(n - a_len - len(junction), 10))
     return prefix + junction + rest
 
 
-def generate(n_reads: int, out_path: str | Path, seed: int = 0, positive_ratio: float = 0.5):
+def generate(
+    n_reads: int,
+    out_path: str | Path,
+    seed: int = 0,
+    positive_ratio: float = 0.5,
+    min_len: int = 300,
+    max_len: int = 2000,
+):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -54,7 +65,7 @@ def generate(n_reads: int, out_path: str | Path, seed: int = 0, positive_ratio: 
     ids, seqs, quals = [], [], []
     for i in range(n_reads):
         label = 1 if rng.random() < positive_ratio else 0
-        seq = make_read(rng, chimeric=bool(label))
+        seq = make_read(rng, chimeric=bool(label), min_len=min_len, max_len=max_len)
         ids.append(f"synth_{i:06d}|{label}")
         seqs.append(seq)
         quals.append(rng.integers(10, 40, size=len(seq)).astype(np.int32).tolist())
@@ -69,8 +80,10 @@ def main(argv=None):
     p.add_argument("--n-reads", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--positive-ratio", type=float, default=0.5)
+    p.add_argument("--min-len", type=int, default=300)
+    p.add_argument("--max-len", type=int, default=2000)
     a = p.parse_args(argv)
-    print(generate(a.n_reads, a.out_path, a.seed, a.positive_ratio))
+    print(generate(a.n_reads, a.out_path, a.seed, a.positive_ratio, a.min_len, a.max_len))
 
 
 if __name__ == "__main__":
