@@ -337,6 +337,25 @@ class BinarySequenceClassifier(nn.Module):
         return self.output_layer(feats)
 
 
+class QualLayer(nn.Module):
+    """Quality-score embedding layer.
+
+    Inventory parity with the reference (chimeralm/models/components/
+    hyena.py:183-212): defined but *not wired into the forward pass* — the
+    reference's ``HyenaDna.forward`` accepts ``input_quals`` and ignores
+    them (hyena.py:244-256); we reproduce that contract.
+    """
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
+        q = input_quals.reshape(-1, 1)
+        q = nn.Dense(self.hidden_dim, name="fc1")(q)
+        q = nn.gelu(q, approximate=False)
+        return nn.Dense(self.hidden_dim, name="fc2")(q)
+
+
 class HyenaDnaClassifier(nn.Module):
     """Backbone + head; the production ChimeraLM graph.
 

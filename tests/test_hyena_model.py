@@ -103,3 +103,32 @@ def test_torch_mirror_cross_validation():
         t_logits = tmodel(torch.from_numpy(ids_np).long()).numpy()
     f_logits = np.asarray(fmodel.apply(converted, jnp.asarray(ids_np)))
     np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_torch_mirror_small32k_config():
+    """Cross-validate the *flagship* config graph (short sequences on CPU)."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_mirror import SMALL_32K_CFG, ChimeraLMTorch
+
+    from chimeralm_tpu.models.convert import convert_state_dict, validate_against
+
+    torch.manual_seed(1)
+    tmodel = ChimeraLMTorch(SMALL_32K_CFG).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    cfg = small_32k_config()
+    fmodel = HyenaDnaClassifier(cfg)
+    ids_np = np.random.default_rng(1).integers(0, 12, size=(2, 384)).astype(np.int32)
+    ref_params = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(ids_np))
+
+    converted = {"params": convert_state_dict(sd)}
+    problems = validate_against(converted["params"], ref_params["params"])
+    assert not problems, problems[:5]
+
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(ids_np).long()).numpy()
+    f_logits = np.asarray(fmodel.apply(converted, jnp.asarray(ids_np)))
+    np.testing.assert_allclose(f_logits, t_logits, atol=5e-4, rtol=1e-3)
+    # argmax agreement = label-level parity
+    assert (f_logits.argmax(1) == t_logits.argmax(1)).all()
