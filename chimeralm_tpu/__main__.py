@@ -146,7 +146,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
     suffix = data_path.suffix.lower()
     t0 = time.perf_counter()
     if suffix == ".bam":
-        stats = engine.predict_bam(data_path, output_path)
+        stats = engine.predict_bam(data_path, output_path, threads=max(1, args.workers or 4))
     elif suffix in (".fq", ".fastq", ".gz"):
         stats = engine.predict_fastq(data_path, output_path)
     elif suffix == ".parquet":

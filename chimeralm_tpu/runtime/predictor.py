@@ -309,7 +309,12 @@ class PredictEngine:
         return stats
 
     def predict_bam(
-        self, bam_path: str | Path, output_dir: str | Path, use_native: bool | None = None, **kw
+        self,
+        bam_path: str | Path,
+        output_dir: str | Path,
+        use_native: bool | None = None,
+        threads: int = 4,
+        **kw,
     ) -> PredictStats:
         """BAM inference; prefers the C++ streaming tokenizer when built."""
         from chimeralm_tpu.io import native
@@ -317,7 +322,7 @@ class PredictEngine:
         if use_native is None:
             use_native = native.available()
         if use_native:
-            tok = native.NativeBamTokenizer(bam_path, max_len=self._max_length(), threads=4)
+            tok = native.NativeBamTokenizer(bam_path, max_len=self._max_length(), threads=max(1, threads))
             with tok:
                 return self.predict_encoded(iter(tok), output_dir=output_dir, **kw)
         from chimeralm_tpu.io.bam import iter_chimeric_reads
