@@ -68,6 +68,7 @@ class HyenaConfig:
     # numerics
     dtype: Any = jnp.float32
     fft_pow2: bool = True
+    fft_method: str = "auto"  # "auto" | "xla" | "matmul" (MXU two-stage DFT)
 
     @property
     def padded_vocab_size(self) -> int:
@@ -183,7 +184,7 @@ class HyenaOperator(nn.Module):
 
         for o, x_i in enumerate(reversed(x[1:])):
             v = v * x_i
-            v = fft_conv(v, k[o], bias[o], pow2=cfg.fft_pow2)
+            v = fft_conv(v, k[o], bias[o], pow2=cfg.fft_pow2, method=cfg.fft_method)
         y = v * x[0]
         y = jnp.swapaxes(y, 1, 2)  # (B, L, D)
         return self.out_proj(y)

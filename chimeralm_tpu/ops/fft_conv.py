@@ -31,7 +31,13 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def fft_conv(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, pow2: bool = True) -> jnp.ndarray:
+def fft_conv(
+    u: jnp.ndarray,
+    k: jnp.ndarray,
+    bias: jnp.ndarray,
+    pow2: bool = True,
+    method: str = "auto",
+) -> jnp.ndarray:
     """Causal linear convolution ``y[t] = sum_s k[s] * u[t-s] + bias * u[t]``.
 
     Args:
@@ -39,6 +45,8 @@ def fft_conv(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, pow2: bool = Tru
         k: (D, L) filter (float32).
         bias: (D,) per-channel passthrough gain.
         pow2: round the FFT size up to a power of two (same math, faster).
+        method: "xla" (native FFT), "matmul" (MXU two-stage DFT), or "auto"
+            (matmul on TPU — the native TPU FFT measured ~8x off pace).
 
     Returns:
         (..., D, L) in ``u.dtype``.
@@ -47,6 +55,18 @@ def fft_conv(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, pow2: bool = Tru
     fft_size = 2 * L
     if pow2:
         fft_size = _next_pow2(fft_size)
+
+    if method == "auto":
+        import jax
+
+        method = "matmul" if jax.default_backend() == "tpu" else "xla"
+    if method == "matmul":
+        from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
+
+        if u.ndim == 2:
+            return fft_conv_matmul(u[None], k, bias, fft_size)[0]
+        return fft_conv_matmul(u, k, bias, fft_size)
+
     nf = fft_size // 2 + 1
 
     # FFTs run on 2-D (rows, L) views: the reshape pins a canonical

@@ -132,3 +132,54 @@ def test_torch_mirror_small32k_config():
     np.testing.assert_allclose(f_logits, t_logits, atol=5e-4, rtol=1e-3)
     # argmax agreement = label-level parity
     assert (f_logits.argmax(1) == t_logits.argmax(1)).all()
+
+
+def test_matmul_fft_matches_jnp():
+    from chimeralm_tpu.ops import matmul_fft as mf
+
+    rng = np.random.default_rng(5)
+    for n in (64, 256, 1024, 2048):
+        x = rng.normal(size=(3, n // 2)).astype(np.float32)
+        ours = np.asarray(mf.fft(jnp.asarray(x), n))
+        ref = np.fft.fft(x, n=n).astype(np.complex64)
+        np.testing.assert_allclose(ours, ref, atol=n * 2e-6, rtol=1e-4)
+        # unnormalized inverse == numpy ifft * n
+        back = np.asarray(mf.ifft(jnp.asarray(ours), n))
+        np.testing.assert_allclose(back / n, np.fft.ifft(ref).astype(np.complex64), atol=1e-3)
+
+
+def test_fft_conv_matmul_matches_xla():
+    rng = np.random.default_rng(6)
+    u = rng.normal(size=(2, 4, 100)).astype(np.float32)
+    k = rng.normal(size=(4, 100)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    y_xla = np.asarray(fft_conv(jnp.asarray(u), jnp.asarray(k), jnp.asarray(b), method="xla"))
+    y_mm = np.asarray(fft_conv(jnp.asarray(u), jnp.asarray(k), jnp.asarray(b), method="matmul"))
+    np.testing.assert_allclose(y_mm, y_xla, atol=2e-3, rtol=1e-3)
+
+
+def test_fft_conv_matmul_chunked_paths():
+    from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=(5, 4, 64)).astype(np.float32)
+    k = rng.normal(size=(4, 64)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    full = np.asarray(fft_conv_matmul(jnp.asarray(u), jnp.asarray(k), jnp.asarray(b), 128))
+    chunked = np.asarray(
+        fft_conv_matmul(jnp.asarray(u), jnp.asarray(k), jnp.asarray(b), 128, max_chunk_elems=4 * 128)
+    )
+    np.testing.assert_allclose(chunked, full, atol=1e-4)
+
+
+def test_model_fft_methods_agree():
+    cfg_x = tiny_config(fft_method="xla")
+    cfg_m = tiny_config(fft_method="matmul")
+    model_x = HyenaDnaClassifier(cfg_x)
+    model_m = HyenaDnaClassifier(cfg_m)
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(0, 12, size=(2, 96)), jnp.int32)
+    params = model_x.init(jax.random.PRNGKey(0), ids)
+    lx = np.asarray(model_x.apply(params, ids))
+    lm = np.asarray(model_m.apply(params, ids))
+    np.testing.assert_allclose(lm, lx, atol=5e-4, rtol=1e-3)
