@@ -177,3 +177,14 @@ def test_quals_normalized():
     q = np.asarray(feat["input_quals"])
     assert q.shape == (5,)  # one PAD slot appended
     np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-6)
+
+
+def test_bucketing_module():
+    from chimeralm_tpu.data.bucketing import bucket_for, bucketize, padding_waste
+
+    assert bucket_for(100) == 512
+    assert bucket_for(513) == 1024
+    assert bucket_for(999999) == 32768
+    batches = list(bucketize(range(10), lambda x: 100 * (x + 1), buckets=(256, 512, 1024), batch_size=2))
+    assert sum(len(b) for _bk, b in batches) == 10
+    assert 0 <= padding_waste([100, 500, 700]) < 1
