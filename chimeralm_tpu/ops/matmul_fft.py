@@ -1,4 +1,4 @@
-"""FFT evaluated as MXU matmuls (two-stage Cooley-Tukey).
+"""FFT evaluated as MXU matmuls (two-stage Cooley-Tukey), real arithmetic.
 
 XLA's native TPU FFT runs far off the hardware roofline — measured ~87% of
 the flagship forward's wall time.  A length-N DFT with N = n1*n2 factors into
@@ -7,9 +7,14 @@ the flagship forward's wall time.  A length-N DFT with N = n1*n2 factors into
                                         * W_n2^{j2 k2}
 
 i.e. a (n1 x n1) DFT matmul over axis j1, a pointwise twiddle, and a
-(n2 x n2) DFT matmul over axis j2 — all dense matmuls that tile the MXU.
-~50x more FLOPs than an actual FFT, but the MXU's throughput advantage over
-the scalar FFT path more than pays for it.
+(n2 x n2) DFT matmul over axis j2 — dense matmuls that tile the MXU.  ~50x
+more FLOPs than a true FFT, but the MXU's throughput advantage over the
+scalar FFT path more than pays for it.
+
+Complex values are carried as explicit (re, im) float32 pairs: the TPU
+backend in this environment rejects complex-dtype dots (UNIMPLEMENTED), and
+real-pair form also lets the inverse stage compute only the real component
+(all that the convolution needs).
 
 Used by ``fft_conv`` when the backend is TPU (``method="auto"``); numerics
 are validated against ``jnp.fft`` in tests (f32, HIGHEST matmul precision).
@@ -24,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _factor(n: int) -> tuple[int, int]:
     """Split n into (n1, n2) with n1*n2 == n, both as square as possible."""
@@ -36,47 +43,91 @@ def _factor(n: int) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=None)
 def _dft_constants(n: int, forward: bool):
-    """(F_n1, twiddle, F_n2) numpy complex64 constants for length-n DFT."""
+    """Real/imag DFT-stage constants for length-n transforms (numpy f32)."""
     n1, n2 = _factor(n)
-    sign = -2j if forward else 2j
+    sign = -2.0 if forward else 2.0
     j1 = np.arange(n1)
-    f1 = np.exp(sign * np.pi * np.outer(j1, j1) / n1).astype(np.complex64)  # (j1, k1)
+    a1 = sign * np.pi * np.outer(j1, j1) / n1
     j2 = np.arange(n2)
-    f2 = np.exp(sign * np.pi * np.outer(j2, j2) / n2).astype(np.complex64)  # (j2, k2)
-    tw = np.exp(sign * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n).astype(
-        np.complex64
-    )  # (k1, j2)
-    return n1, n2, f1, tw, f2
+    a2 = sign * np.pi * np.outer(j2, j2) / n2
+    at = sign * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n
+    return (
+        n1,
+        n2,
+        np.cos(a1).astype(np.float32),
+        np.sin(a1).astype(np.float32),
+        np.cos(at).astype(np.float32),
+        np.sin(at).astype(np.float32),
+        np.cos(a2).astype(np.float32),
+        np.sin(a2).astype(np.float32),
+    )
 
 
-def _cfft(x: jnp.ndarray, n: int, forward: bool) -> jnp.ndarray:
-    """Complex DFT over the last axis via two matmul stages. x: (..., n)."""
-    n1, n2, f1, tw, f2 = _dft_constants(n, forward)
-    lead = x.shape[:-1]
-    a = x.reshape(*lead, n1, n2)
-    # stage 1: DFT over j1 -> (..., k1, j2)
-    b = jnp.einsum("...jt,jk->...kt", a, jnp.asarray(f1), precision=jax.lax.Precision.HIGHEST)
-    # twiddle
-    c = b * jnp.asarray(tw)
-    # stage 2: DFT over j2 -> (..., k1, k2)
-    d = jnp.einsum("...kt,ts->...ks", c, jnp.asarray(f2), precision=jax.lax.Precision.HIGHEST)
-    # X[k1 + n1*k2] -> transpose (k1, k2) -> (k2, k1) then flatten
-    return jnp.swapaxes(d, -1, -2).reshape(*lead, n)
+def _cfft_pair(xr, xi, n: int, forward: bool, imag_out: bool = True):
+    """Two-stage DFT over the last axis on (re, im) pairs. x: (..., n)."""
+    n1, n2, f1r, f1i, twr, twi, f2r, f2i = _dft_constants(n, forward)
+    f1r, f1i, twr, twi, f2r, f2i = (jnp.asarray(m) for m in (f1r, f1i, twr, twi, f2r, f2i))
+    lead = xr.shape[:-1]
+    ar = xr.reshape(*lead, n1, n2)
+
+    # stage 1: b[k1, j2] = sum_j1 a[j1, j2] F1[j1, k1]
+    def stage1(real_part):
+        return jnp.einsum("...jt,jk->...kt", real_part, f1r, precision=_PREC), jnp.einsum(
+            "...jt,jk->...kt", real_part, f1i, precision=_PREC
+        )
+
+    br, bi = stage1(ar)
+    if xi is not None:
+        ai = xi.reshape(*lead, n1, n2)
+        cr2 = jnp.einsum("...jt,jk->...kt", ai, f1r, precision=_PREC)
+        ci2 = jnp.einsum("...jt,jk->...kt", ai, f1i, precision=_PREC)
+        br, bi = br - ci2, bi + cr2
+
+    # twiddle: c = b * W (elementwise complex multiply)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    # stage 2: d[k1, k2] = sum_j2 c[k1, j2] F2[j2, k2]
+    dr = jnp.einsum("...kt,ts->...ks", cr, f2r, precision=_PREC) - jnp.einsum(
+        "...kt,ts->...ks", ci, f2i, precision=_PREC
+    )
+    dr = jnp.swapaxes(dr, -1, -2).reshape(*lead, n)
+    if not imag_out:
+        return dr, None
+    di = jnp.einsum("...kt,ts->...ks", cr, f2i, precision=_PREC) + jnp.einsum(
+        "...kt,ts->...ks", ci, f2r, precision=_PREC
+    )
+    di = jnp.swapaxes(di, -1, -2).reshape(*lead, n)
+    return dr, di
 
 
-def fft(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Forward complex DFT of the last axis, zero-padded/truncated to n."""
+def _pad_to(x, n: int):
     L = x.shape[-1]
     if L < n:
-        x = jnp.pad(x.astype(jnp.complex64), [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
+    return x[..., :n]
+
+
+def fft_pair(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward DFT of a real last axis, zero-padded to n -> (re, im)."""
+    return _cfft_pair(_pad_to(x.astype(jnp.float32), n), None, n, forward=True)
+
+
+# complex-dtype convenience wrappers (tests / CPU use)
+def fft(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if jnp.iscomplexobj(x):
+        re, im = _cfft_pair(_pad_to(x.real.astype(jnp.float32), n), _pad_to(x.imag.astype(jnp.float32), n), n, True)
     else:
-        x = x[..., :n].astype(jnp.complex64)
-    return _cfft(x, n, forward=True)
+        re, im = fft_pair(x, n)
+    return re + 1j * im
 
 
 def ifft(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """Unnormalized inverse DFT (matches irfft(..., norm="forward") scaling)."""
-    return _cfft(x.astype(jnp.complex64), n, forward=False)
+    re, im = _cfft_pair(
+        _pad_to(x.real.astype(jnp.float32), n), _pad_to(x.imag.astype(jnp.float32), n), n, False
+    )
+    return re + 1j * im
 
 
 def fft_conv_matmul(
@@ -90,13 +141,15 @@ def fft_conv_matmul(
 
     u: (B, D, L) real; k: (D, L) real; bias: (D,).
 
-    The spectral pipeline (fft -> x k_f -> ifft) runs chunked over the batch
-    dim with ``lax.map`` so complex intermediates stay ~``max_chunk_elems``
-    elements (128 MB at complex64) instead of materializing (B*D, n).
+    The spectral pipeline (fft -> x k_f -> ifft.real) runs chunked over the
+    batch dim with ``lax.map`` so intermediates stay ~``max_chunk_elems``
+    elements per component instead of materializing (B*D, n).
     """
     B, D, L = u.shape
     u32 = u.astype(jnp.float32)
-    k_f = fft(k.astype(jnp.float32), fft_size) / fft_size  # (D, n)
+    kr, ki = fft_pair(k.astype(jnp.float32), fft_size)
+    kr = kr / fft_size
+    ki = ki / fft_size
 
     chunk_b = max(1, int(max_chunk_elems // max(D * fft_size, 1)))
     chunk_b = min(chunk_b, B)
@@ -107,9 +160,16 @@ def fft_conv_matmul(
 
     def one_chunk(uc):
         rows = chunk_b * D
-        u_f = fft(uc.reshape(rows, L), fft_size).reshape(chunk_b, D, fft_size)
-        prod = (u_f * k_f[None]).reshape(rows, fft_size)
-        return ifft(prod, fft_size).real[..., :L].reshape(chunk_b, D, L)
+        ur, ui = fft_pair(uc.reshape(rows, L), fft_size)
+        ur = ur.reshape(chunk_b, D, fft_size)
+        ui = ui.reshape(chunk_b, D, fft_size)
+        pr = ur * kr[None] - ui * ki[None]
+        pi = ur * ki[None] + ui * kr[None]
+        # inverse: only the real component is needed
+        yr, _ = _cfft_pair(
+            pr.reshape(rows, fft_size), pi.reshape(rows, fft_size), fft_size, forward=False, imag_out=False
+        )
+        return yr[..., :L].reshape(chunk_b, D, L)
 
     if n_chunks == 1:
         y = one_chunk(chunks[0])
