@@ -25,11 +25,21 @@ from __future__ import annotations
 import functools
 import math
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PREC = jax.lax.Precision.HIGHEST
+# f32 einsums on TPU decompose into bf16 MXU passes: HIGHEST = 6 passes,
+# HIGH = 3.  HIGH keeps ~f32-grade accuracy for these DFT stages at half the
+# MXU work; override with CHIMERALM_FFT_PRECISION=highest if bit-closeness
+# to the XLA-FFT path matters more than speed.
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("CHIMERALM_FFT_PRECISION", "high").lower()]
 
 
 def _factor(n: int) -> tuple[int, int]:

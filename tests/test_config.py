@@ -92,3 +92,13 @@ def test_eval_entry_test_loop(tmp_path):
     ckpt = tmp_path / "logs/debug/runs/checkpoints/last.ckpt.msgpack"
     assert ckpt.exists()
     eval_entry.main([f"ckpt_path={ckpt}", *common])
+
+
+@pytest.mark.parametrize("name", ["hyena", "cnn", "transformer", "mamba", "mambasp", "striped_hyena"])
+def test_all_model_configs_instantiate(name):
+    cfg = compose("train", [f"model={name}"])
+    task = instantiate(cfg["model"])
+    from chimeralm_tpu.runtime.task import ClassificationTask
+
+    assert isinstance(task, ClassificationTask)
+    assert task.model is not None
