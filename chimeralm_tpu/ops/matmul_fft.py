@@ -169,17 +169,47 @@ def fft_conv_matmul(
     chunks = u_pad.reshape(n_chunks, chunk_b, D, L)
 
     def one_chunk(uc):
+        # Real-pair packing: transform two real signals per complex DFT.
+        # Forward: Z = F(x + i*y) -> X = (Z + conj(flip Z))/2,
+        #          Y = (Z - conj(flip Z))/(2i)  (Hermitian split).
+        # Inverse: z = F^-1(P + i*Q) -> re(z) = conv_x, im(z) = conv_y.
+        rows = chunk_b * D
+        half = rows // 2
+        u2 = uc.reshape(rows, L)
+        xr = u2[:half]
+        xi = u2[half:]
+        zr, zi = _cfft_pair(_pad_to(xr, fft_size), _pad_to(xi, fft_size), fft_size, forward=True)
+        # conj(flip Z): index n-k mod n == roll of the reversed array
+        zr_f = jnp.roll(zr[..., ::-1], 1, axis=-1)
+        zi_f = jnp.roll(zi[..., ::-1], 1, axis=-1)
+        ur_a, ui_a = (zr + zr_f) / 2, (zi - zi_f) / 2          # spectrum of xr rows
+        ur_b, ui_b = (zi + zi_f) / 2, (zr_f - zr) / 2          # spectrum of xi rows
+        ur = jnp.concatenate([ur_a, ur_b], axis=0).reshape(chunk_b, D, fft_size)
+        ui = jnp.concatenate([ui_a, ui_b], axis=0).reshape(chunk_b, D, fft_size)
+        pr = (ur * kr[None] - ui * ki[None]).reshape(rows, fft_size)
+        pi = (ur * ki[None] + ui * kr[None]).reshape(rows, fft_size)
+        # pack two product-spectra per inverse transform: re -> first signal,
+        # im -> second (linearity; both convolutions are real)
+        yr, yi = _cfft_pair(
+            pr[:half] - pi[half:], pi[:half] + pr[half:], fft_size, forward=False
+        )
+        y = jnp.concatenate([yr, yi], axis=0)
+        return y[..., :L].reshape(chunk_b, D, L)
+
+    def one_chunk_odd(uc):
         rows = chunk_b * D
         ur, ui = fft_pair(uc.reshape(rows, L), fft_size)
         ur = ur.reshape(chunk_b, D, fft_size)
         ui = ui.reshape(chunk_b, D, fft_size)
         pr = ur * kr[None] - ui * ki[None]
         pi = ur * ki[None] + ui * kr[None]
-        # inverse: only the real component is needed
         yr, _ = _cfft_pair(
             pr.reshape(rows, fft_size), pi.reshape(rows, fft_size), fft_size, forward=False, imag_out=False
         )
         return yr[..., :L].reshape(chunk_b, D, L)
+
+    if (chunk_b * D) % 2:
+        one_chunk = one_chunk_odd
 
     if n_chunks == 1:
         y = one_chunk(chunks[0])

@@ -146,3 +146,22 @@ def test_filter_cli_end_to_end(tiny_model, tmp_path):
         out_names = {rec.query_name for rec in r}
     assert not (out_names & dropped)
     assert len(out_names) == 100 - len(dropped)
+
+
+def test_predict_with_dp_mesh(tiny_model, tmp_path):
+    """Engine over a 4-device dp mesh produces the single-device labels."""
+    from chimeralm_tpu.parallel.mesh import make_mesh
+
+    model, params = tiny_model
+    tok = CharacterTokenizer(model_max_length=512, padding_side="left")
+    cfg = PredictConfig(batch_size=12, mode="fast", buckets=(128, 256, 512))
+    single = PredictEngine(model, params, tok, cfg)
+    single.predict_bam(BAM, tmp_path / "single")
+
+    mesh = make_mesh(4, axis_names=("dp",))
+    meshed = PredictEngine(model, params, tok, cfg, mesh=mesh)
+    meshed.predict_bam(BAM, tmp_path / "mesh")
+
+    a = load_predictions_from_folder(tmp_path / "single")
+    b = load_predictions_from_folder(tmp_path / "mesh")
+    assert a == b and len(a) == 100
