@@ -103,7 +103,17 @@ class PredictEngine:
         self.rank = rank
         self._n_dp = 1 if mesh is None else int(np.prod(mesh.devices.shape))
 
-        dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+        # honor config.dtype for models that carry a compute-dtype config
+        # (the flagship HyenaDnaClassifier); other zoo models compute in f32
+        model_cfg = getattr(self.model, "config", None)
+        if (
+            self.config.dtype == "bfloat16"
+            and model_cfg is not None
+            and getattr(model_cfg, "dtype", None) not in (None, jnp.bfloat16)
+        ):
+            import dataclasses as _dc
+
+            self.model = self.model.clone(config=_dc.replace(model_cfg, dtype=jnp.bfloat16))
 
         # all compiled forwards emit logits padded to one fixed row count, so
         # grouped result fetches concatenate identical shapes (single compile)
