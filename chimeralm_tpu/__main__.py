@@ -140,6 +140,8 @@ def cmd_predict(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         mode=args.mode,
         dtype=args.dtype,
+        tokens_per_batch=args.tokens_per_batch,
+        pipeline_depth=args.pipeline_depth,
     )
     engine = PredictEngine(loaded.model, loaded.params, tokenizer, config, mesh=mesh)
 
@@ -184,6 +186,26 @@ def cmd_web(args: argparse.Namespace) -> int:  # noqa: ARG001
     return ui.main()
 
 
+def cmd_tools(args: argparse.Namespace) -> int:
+    """Pass through to the C++ multi-call binary (builds it if needed)."""
+    import subprocess
+
+    tools_bin = Path(__file__).resolve().parents[1] / "tools" / "build" / "chimera-tools"
+    if not tools_bin.exists():
+        from chimeralm_tpu.io import native
+
+        if not native.build():
+            log.error("native tools are not built and the toolchain is unavailable")
+            return 1
+    argv = args.tool_args
+    if argv and argv[0] == "--":
+        argv = argv[1:]
+    if not argv:
+        log.error("usage: chimeralm tools <extractsa|annotate|annotatesv|getsvfromvcf|addtarget|summary|compare|query> ...")
+        return 2
+    return subprocess.call([str(tools_bin), *argv])
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="chimeralm",
@@ -208,6 +230,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("fast", "parity"), default="parity",
                    help="parity: reference-exact batching; fast: bucketed+masked TPU path")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
+    p.add_argument("--tokens-per-batch", type=int, default=None,
+                   help="fast mode: per-bucket batch rows = budget // bucket")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="batches in flight before result fetch")
     p.set_defaults(func=cmd_predict)
 
     p = sub.add_parser("filter", help="Filter the BAM file by predictions.")
@@ -220,6 +246,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("web", help="Launch the web interface.")
     p.set_defaults(func=cmd_web)
+
+    p = sub.add_parser(
+        "tools",
+        help="Run a native dataset-curation tool (extractsa/annotate/...).",
+        add_help=False,
+    )
+    p.add_argument("tool_args", nargs=argparse.REMAINDER)
+    p.set_defaults(func=cmd_tools)
 
     return parser
 

@@ -34,3 +34,9 @@ def test_cli_banner():
 def test_cli_filter_requires_args():
     out = _run("filter")
     assert out.returncode != 0
+
+
+def test_cli_tools_passthrough():
+    out = _run("tools", "query")
+    assert out.returncode == 0, out.stderr
+    assert "Hello, world!" in out.stdout
