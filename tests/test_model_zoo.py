@@ -115,3 +115,17 @@ def _interpret_pallas():
 
 def test_registry_lists_all():
     assert set(available()) >= {"hyenadna", "cnn", "transformer", "mamba", "mambasp", "striped-hyena"}
+
+
+def test_mamba_positional_variants():
+    for pos_type in ("learned", "sinusoidal", "none"):
+        model = build(
+            "mamba-positional",
+            embedding_dim=32, number_of_layers=1, dropout=0.1,
+            max_seq_length=128, d_state=16, headdim=16,
+            pos_embedding_type=pos_type,
+        )
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 12, (2, 48)), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), ids)
+        logits = model.apply(variables, ids)
+        assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()

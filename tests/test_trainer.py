@@ -91,3 +91,23 @@ def test_fast_dev_run(tmp_path):
     trainer = Trainer(task, TrainerConfig(fast_dev_run=True), ckpt_dir=tmp_path)
     trainer.fit(dm)
     assert trainer.callback_metrics["epoch"] == 0
+
+
+def test_kmer_tokenizer_datamodule():
+    from chimeralm_tpu.data.tokenizer import KmerTokenizer
+
+    tok = KmerTokenizer(k=3, model_max_length=128, padding_side="left")
+    dm = ParquetDataModule(tok, train_data_path=PARQUET, batch_size=4)
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches(0)))
+    assert batch["input_ids"].shape[0] == 4
+    assert batch["input_ids"].max() >= 7  # k-mer ids
+
+
+def test_tensorboard_logger(tmp_path):
+    from chimeralm_tpu.utils.loggers import TensorBoardLogger
+
+    lg = TensorBoardLogger(str(tmp_path), name="t")
+    lg.log_metrics({"val/f1": 0.5, "skip": "str"}, step=1)
+    lg.log_hyperparams({"lr": 1e-4})
+    assert list((tmp_path / "t").iterdir())
