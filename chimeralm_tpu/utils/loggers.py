@@ -88,3 +88,73 @@ def log_hyperparameters(loggers: list, cfg: dict, param_count: int | None = None
     for lg in loggers:
         if hasattr(lg, "log_hyperparams"):
             lg.log_hyperparams(payload)
+
+
+class _ThirdPartyLogger:
+    """Base for optional sinks: importing the backend may raise ImportError,
+    which ``instantiate_loggers`` treats as 'skip this sink'."""
+
+
+class MLFlowLogger(_ThirdPartyLogger):
+    def __init__(self, experiment_name: str = "chimeralm", tracking_uri: str | None = None, **kw):
+        import mlflow
+
+        self._mlflow = mlflow
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        mlflow.set_experiment(experiment_name)
+        mlflow.start_run()
+
+    def log_metrics(self, metrics: dict, step: int | None = None):
+        self._mlflow.log_metrics(
+            {k.replace("/", "_"): v for k, v in metrics.items() if isinstance(v, (int, float))},
+            step=step,
+        )
+
+    def log_hyperparams(self, params: dict):
+        self._mlflow.log_params({k: str(v) for k, v in params.items()})
+
+
+class NeptuneLogger(_ThirdPartyLogger):
+    def __init__(self, project: str = "chimeralm", **kw):
+        import neptune
+
+        self._run = neptune.init_run(project=project, **kw)
+
+    def log_metrics(self, metrics: dict, step: int | None = None):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self._run[k].append(v, step=step)
+
+    def log_hyperparams(self, params: dict):
+        self._run["parameters"] = {k: str(v) for k, v in params.items()}
+
+
+class CometLogger(_ThirdPartyLogger):
+    def __init__(self, project_name: str = "chimeralm", **kw):
+        import comet_ml
+
+        self._exp = comet_ml.Experiment(project_name=project_name, **kw)
+
+    def log_metrics(self, metrics: dict, step: int | None = None):
+        self._exp.log_metrics(
+            {k: v for k, v in metrics.items() if isinstance(v, (int, float))}, step=step
+        )
+
+    def log_hyperparams(self, params: dict):
+        self._exp.log_parameters(params)
+
+
+class AimLogger(_ThirdPartyLogger):
+    def __init__(self, experiment: str = "chimeralm", repo: str | None = None, **kw):
+        import aim
+
+        self._run = aim.Run(experiment=experiment, repo=repo)
+
+    def log_metrics(self, metrics: dict, step: int | None = None):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self._run.track(v, name=k, step=step)
+
+    def log_hyperparams(self, params: dict):
+        self._run["hparams"] = {k: str(v) for k, v in params.items()}

@@ -88,7 +88,14 @@ def train(cfg: dict) -> tuple[dict, dict]:
     state = None
     if cfg.get("train", True):
         log.info("Starting training!")
-        state = trainer.fit(datamodule, ckpt_path=cfg.get("ckpt_path"))
+        profiler_cfg = cfg.get("profiler") or {}
+        if profiler_cfg.get("enabled"):
+            from chimeralm_tpu.utils.profiling import trace
+
+            with trace(profiler_cfg.get("trace_dir", "jax_trace")):
+                state = trainer.fit(datamodule, ckpt_path=cfg.get("ckpt_path"))
+        else:
+            state = trainer.fit(datamodule, ckpt_path=cfg.get("ckpt_path"))
 
     metric_dict = dict(trainer.callback_metrics)
 
