@@ -96,7 +96,8 @@ class ClassificationTask:
         def loss_fn(params):
             apply = self._forward
             if self.remat:
-                apply = jax.checkpoint(apply, static_argnums=(2,))
+                # deterministic (2) and mutable (5) are Python bools -> static
+                apply = jax.checkpoint(apply, static_argnums=(2, 5))
             logits, new_ms = apply(
                 params, batch, False, {"dropout": step_rng}, state.model_state, True
             )

@@ -117,3 +117,25 @@ def test_dp_sharded_training_matches_single_device():
     mesh = make_mesh(4, axis_names=("dp",))
     multi = run(mesh)
     np.testing.assert_allclose(single, multi, rtol=2e-4)
+
+
+def test_remat_training_matches_no_remat():
+    """jax.checkpoint (remat) must not change the loss trajectory."""
+    model = HyenaDnaClassifier(tiny_config())
+    rng = np.random.default_rng(4)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(7, 12, size=(4, 64)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 2, size=(4,)), jnp.int32),
+    }
+
+    def run(remat):
+        task = ClassificationTask(model, learning_rate=1e-3, remat=remat)
+        state = task.init_state(jax.random.PRNGKey(0), batch["input_ids"][:1])
+        step, _ = task.jit_steps()
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+            losses.append(float(m["loss"]))
+        return losses
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-5)
