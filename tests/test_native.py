@@ -168,3 +168,52 @@ def test_predict_engine_uses_native(tmp_path):
     a = load_predictions_from_folder(tmp_path / "native")
     b = load_predictions_from_folder(tmp_path / "python")
     assert a == b and len(a) == 100
+
+
+@pytest.mark.slow
+def test_native_reads_python_written_bam_stress(tmp_path):
+    """A large Python-written BAM (multi-block, >64KB records span) reads
+    identically through the native tokenizer."""
+    import struct
+
+    from chimeralm_tpu.data.tokenizer import CharacterTokenizer
+    from chimeralm_tpu.io.bam import BamHeader, BamRecord, BamWriter
+
+    rng = np.random.default_rng(0)
+    header = BamHeader("@HD\tVN:1.6\n", [("chr1", 10_000_000)])
+    p = tmp_path / "big.bam"
+    names, seqs = [], []
+    nib = "=ACMGRSVTWYHKDBN"
+    with BamWriter(p, header) as w:
+        for i in range(500):
+            name = f"read_{i:05d}"
+            L = int(rng.integers(50, 5000))
+            seq_idx = rng.integers(0, 4, L)  # A C M G nibbles? use ACGT codes 1,2,4,8
+            codes = [1, 2, 4, 8]
+            seq = "".join("ACGT"[j] for j in seq_idx)
+            packed = bytearray()
+            for j in range(0, L, 2):
+                hi = codes[seq_idx[j]] << 4
+                lo = codes[seq_idx[j + 1]] if j + 1 < L else 0
+                packed.append(hi | lo)
+            raw = bytearray()
+            raw += struct.pack("<iiBBHHHiiii", 0, i * 10, len(name) + 1, 60, 0, 1, 0, L, -1, -1, 0)
+            raw += name.encode() + b"\x00"
+            raw += struct.pack("<I", (L << 4) | 0)  # cigar: L M
+            raw += bytes(packed)
+            raw += bytes([30] * L)  # quals
+            raw += b"SAZchr1,1,+,10M,60,0;\x00"  # SA tag -> chimeric
+            w.write(BamRecord(bytes(raw)))
+            names.append(name)
+            seqs.append(seq)
+
+    tok = CharacterTokenizer(model_max_length=32768)
+    with native.NativeBamTokenizer(p, max_len=tok.max_len_single_sentence) as nt:
+        out = list(nt)
+    assert len(out) == 500
+    for (ids, sc), name, seq in zip(out, names, seqs):
+        expected = tok.encode_np(seq, truncation=True, max_length=tok.max_len_single_sentence)
+        np.testing.assert_array_equal(ids, expected)
+        from chimeralm_tpu.runtime.writers import resume_read_name
+
+        assert resume_read_name(sc) == name
