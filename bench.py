@@ -109,7 +109,7 @@ def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--reads", type=int, default=300)
+    parser.add_argument("--reads", type=int, default=600)
     parser.add_argument("--tokens-per-batch", type=int, default=262144)
     parser.add_argument("--pipeline-depth", type=int, default=8)
     parser.add_argument("--io-workers", type=int, default=4)
