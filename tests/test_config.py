@@ -102,3 +102,34 @@ def test_all_model_configs_instantiate(name):
 
     assert isinstance(task, ClassificationTask)
     assert task.model is not None
+
+
+def test_eval_entry_predict_branch(tmp_path):
+    """eval.py with predict_data_path runs the writer path end-to-end."""
+    import eval as eval_entry
+    import train as train_entry
+
+    common = [
+        "data.train_data_path=tests/data/tests.parquet",
+        "data.tokenizer.model_max_length=128",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "model.model.config._target_=chimeralm_tpu.models.hyena.tiny_config",
+        f"paths.root_dir={tmp_path}",
+        "extras.print_config=false",
+    ]
+    train_entry.main(["debug=fdr", "test=false", *common])
+    ckpt = tmp_path / "logs/debug/runs/checkpoints/last.ckpt.msgpack"
+    assert ckpt.exists()
+    eval_entry.main(
+        [
+            f"ckpt_path={ckpt}",
+            "+data.predict_data_path=tests/data/test_predict.parquet",
+            *common,
+        ]
+    )
+    pred_dir = tmp_path / "logs/eval/runs/predictions"
+    from chimeralm_tpu.runtime.writers import load_predictions_from_folder
+
+    preds = load_predictions_from_folder(pred_dir)
+    assert len(preds) == 25
