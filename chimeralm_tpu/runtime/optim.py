@@ -14,19 +14,36 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
 import optax
 
 
-def make_adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01) -> optax.GradientTransformation:
-    """AdamW with an injectable learning rate (mutable in opt_state)."""
-    return optax.inject_hyperparams(optax.adamw)(
+def make_adamw(
+    learning_rate: float = 1e-4, weight_decay: float = 0.01, warmup_steps: int = 0
+) -> optax.GradientTransformation:
+    """AdamW with an injectable learning rate (mutable in opt_state).
+
+    ``warmup_steps`` applies a linear per-step ramp multiplier on top of the
+    injected (plateau-scheduled) base LR — from-scratch Hyena training needs
+    it (sin-activation filters destabilize at full LR from step 0).
+    """
+    adamw = optax.inject_hyperparams(optax.adamw)(
         learning_rate=learning_rate, weight_decay=weight_decay
     )
+    if warmup_steps <= 0:
+        return adamw
+    ramp = optax.scale_by_schedule(
+        lambda step: jnp.minimum(1.0, (step + 1) / float(warmup_steps))
+    )
+    return optax.chain(adamw, ramp)
 
 
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in-place (returns new state)."""
-    opt_state.hyperparams["learning_rate"] = opt_state.hyperparams["learning_rate"] * 0 + lr
+    inner = opt_state
+    if not hasattr(inner, "hyperparams"):  # chained with warmup ramp
+        inner = opt_state[0]
+    inner.hyperparams["learning_rate"] = inner.hyperparams["learning_rate"] * 0 + lr
     return opt_state
 
 

@@ -57,9 +57,10 @@ class ClassificationTask:
         weight_decay: float = 0.01,
         optimizer: optax.GradientTransformation | None = None,
         remat: bool = False,
+        warmup_steps: int = 0,
     ):
         self.model = model
-        self.optimizer = optimizer or make_adamw(learning_rate, weight_decay)
+        self.optimizer = optimizer or make_adamw(learning_rate, weight_decay, warmup_steps)
         self.remat = remat
 
     # -- state -------------------------------------------------------------

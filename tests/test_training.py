@@ -139,3 +139,23 @@ def test_remat_training_matches_no_remat():
         return losses
 
     np.testing.assert_allclose(run(False), run(True), rtol=1e-5)
+
+
+def test_warmup_ramps_update_magnitude():
+    from chimeralm_tpu.runtime.optim import make_adamw, set_learning_rate
+
+    import optax
+
+    opt = make_adamw(1e-2, 0.0, warmup_steps=10)
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    grads = {"w": jnp.ones((4,))}
+    u1, state = opt.update(grads, state, params)
+    for _ in range(20):
+        u_last, state = opt.update(grads, state, params)
+    # first step scaled to 1/10, post-warmup full magnitude
+    assert abs(float(u1["w"][0])) < abs(float(u_last["w"][0])) * 0.2
+    # plateau-LR injection still reachable through the chain
+    state = set_learning_rate(state, 1e-3)
+    u2, _ = opt.update(grads, state, params)
+    assert abs(float(u2["w"][0])) < abs(float(u_last["w"][0]))
