@@ -10,7 +10,7 @@ from __future__ import annotations
 import gzip
 from pathlib import Path
 
-from chimeralm_tpu.io.bgzf import BgzfWriter, is_bgzf
+from chimeralm_tpu.io.bgzf import BgzfWriter
 
 
 class FastqRecord:

@@ -19,7 +19,6 @@ import logging
 import os
 
 import jax
-import numpy as np
 
 logger = logging.getLogger(__name__)
 

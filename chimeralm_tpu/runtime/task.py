@@ -11,7 +11,6 @@ plateau scheduler.  The steps are pure functions over an explicit
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -85,7 +85,6 @@ def test_tokenizer_empty_sequence():
 def test_native_tokenizer_no_chimeric(tmp_path):
     """A BAM whose records lack SA tags yields zero reads, cleanly."""
     from chimeralm_tpu.io import native
-    from chimeralm_tpu.io.bam import BamRecord
 
     if not native.available():
         pytest.skip("native lib not built")

@@ -144,8 +144,6 @@ def test_remat_training_matches_no_remat():
 def test_warmup_ramps_update_magnitude():
     from chimeralm_tpu.runtime.optim import make_adamw, set_learning_rate
 
-    import optax
-
     opt = make_adamw(1e-2, 0.0, warmup_steps=10)
     params = {"w": jnp.ones((4,))}
     state = opt.init(params)
