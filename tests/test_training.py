@@ -157,3 +157,34 @@ def test_warmup_ramps_update_magnitude():
     state = set_learning_rate(state, 1e-3)
     u2, _ = opt.update(grads, state, params)
     assert abs(float(u2["w"][0])) < abs(float(u_last["w"][0]))
+
+
+def test_pretrain_next_base_lm_and_seed_classifier():
+    """Causal LM pretraining descends, and its backbone seeds the classifier."""
+    from chimeralm_tpu.models.hyena import tiny_config
+    from chimeralm_tpu.runtime.pretrain import (
+        PretrainTask,
+        next_token_loss,
+        seed_classifier_params,
+    )
+
+    cfg = tiny_config(embed_dropout=0.0)
+    pre = PretrainTask(cfg, learning_rate=1e-3, warmup_steps=5)
+    rng = np.random.default_rng(0)
+    # learnable structure: repeated ACGT pattern
+    ids = np.tile(np.array([7, 8, 9, 10] * 16, np.int32), (8, 1))
+    state = pre.init_state(jax.random.PRNGKey(0), jnp.asarray(ids[:1]))
+    step = pre.jit_train_step()
+    losses = []
+    for _ in range(40):
+        state, loss = step(state, jnp.asarray(ids), jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.3, losses[::10]
+
+    # backbone transplant into the classifier
+    backbone = pre.export_backbone(state)
+    clf = HyenaDnaClassifier(cfg)
+    clf_params = clf.init(jax.random.PRNGKey(0), jnp.asarray(ids[:1]))["params"]
+    seeded = seed_classifier_params(clf_params, backbone)
+    logits = clf.apply({"params": seeded}, jnp.asarray(ids[:2]))
+    assert np.isfinite(np.asarray(logits)).all()
