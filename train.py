@@ -113,34 +113,32 @@ def train(cfg: dict) -> tuple[dict, dict]:
 
 
 def run_sweep(cfg: dict, overrides: list[str]) -> float:
-    """Random-search sweeper over ``cfg['sweep']`` (Optuna-config parity)."""
-    import numpy as np
+    """TPE (or random) sweeper over ``cfg['sweep']``.
+
+    Matches the reference's Optuna sweeper surface (reference:
+    configs/hparams_search/mambasp_optuna.yaml:17-52 — TPESampler with
+    n_startup_trials, direction, n_trials, per-param spaces) with the
+    in-framework sampler from ``chimeralm_tpu.runtime.hparam``.
+    """
+    from chimeralm_tpu.runtime.hparam import make_sampler
 
     sweep = cfg["sweep"]
-    rng = np.random.default_rng(cfg.get("seed", 0))
-    best = None
+    sampler = make_sampler(sweep)
     for trial in range(int(sweep["n_trials"])):
-        trial_overrides = list(overrides)
-        for key, space in sweep["params"].items():
-            if "choices" in space:
-                value = space["choices"][int(rng.integers(len(space["choices"])))]
-            elif space.get("log"):
-                value = float(np.exp(rng.uniform(np.log(space["low"]), np.log(space["high"]))))
-            else:
-                value = float(rng.uniform(space["low"], space["high"]))
-            trial_overrides.append(f"{key}={value}")
+        params = sampler.suggest()
+        trial_overrides = list(overrides) + [f"{k}={v}" for k, v in params.items()]
         trial_cfg = compose("train", [o for o in trial_overrides if not o.startswith("hparams_search")])
-        log.info(f"sweep trial {trial}: {trial_overrides}")
+        log.info(f"sweep trial {trial}: {params}")
+        value = None
         try:
             metric_dict, _ = train(trial_cfg)
             value = get_metric_value(metric_dict, sweep.get("metric"))
         except Exception as e:  # failed trials don't kill the sweep
             log.warning(f"trial {trial} failed: {e}")
-            continue
-        if value is not None and (best is None or value > best):
-            best = value
-    log.info(f"sweep best: {best}")
-    return best if best is not None else float("nan")
+        sampler.tell(params, value)
+    best = sampler.best
+    log.info(f"sweep best: {best.value if best else None} params={best.params if best else None}")
+    return best.value if best is not None else float("nan")
 
 
 def main(argv: list[str] | None = None) -> float | None:
