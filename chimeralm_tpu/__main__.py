@@ -104,12 +104,39 @@ def filter_bam_by_prediction(
 def cmd_predict(args: argparse.Namespace) -> int:
     set_logging_level(logging.DEBUG if args.verbose else logging.INFO)
 
+    import os
+
     import jax
+
+    platform = args.platform or os.environ.get("CHIMERALM_PLATFORM")
+    if platform:
+        # must be a config update, not an env var: the site hook pins the
+        # relay platform after env resolution
+        jax.config.update("jax_platforms", platform)
 
     from chimeralm_tpu.data.tokenizer import load_tokenizer_from_hyena_model
     from chimeralm_tpu.models.lm import ChimeraLM
     from chimeralm_tpu.parallel.mesh import make_mesh
     from chimeralm_tpu.runtime.predictor import PredictConfig, PredictEngine
+
+    # multi-process runtime (reference DDP semantics: configs/trainer/ddp.yaml;
+    # local 2-proc sim: configs/trainer/ddp_sim.yaml) — each process predicts a
+    # striped shard of the reads and writes rank-stamped files
+    proc_index, proc_count = 0, 1
+    if args.coordinator or args.num_processes:
+        import os as _os
+
+        if not (args.coordinator or _os.environ.get("CHIMERALM_COORDINATOR")):
+            log.error("--num-processes requires --coordinator (host:port)")
+            return 2
+        from chimeralm_tpu.parallel.dist import initialize
+
+        proc_index, proc_count = initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        log.info("distributed runtime: process %d/%d", proc_index, proc_count)
 
     data_path = Path(args.data_path)
     output_path = Path(args.output) if args.output else data_path.with_suffix(".predictions")
@@ -131,6 +158,13 @@ def cmd_predict(args: argparse.Namespace) -> int:
             )
             loaded = ChimeraLM.new(seed=42)
 
+    # a smaller-context checkpoint (e.g. a distilled/tiny model) caps the
+    # tokenizer: padding past the model's positional grid is invalid
+    model_ctx = getattr(loaded.config, "max_seq_len", None)
+    if model_ctx and tokenizer.model_max_length and tokenizer.model_max_length > model_ctx:
+        tokenizer.model_max_length = model_ctx
+        log.info("capping tokenizer context to the model's max_seq_len=%d", model_ctx)
+
     n_devices = len(jax.devices())
     use = min(args.devices, n_devices) if args.devices > 0 else 1
     mesh = make_mesh(use) if use > 1 else None
@@ -143,16 +177,21 @@ def cmd_predict(args: argparse.Namespace) -> int:
         tokens_per_batch=args.tokens_per_batch,
         pipeline_depth=args.pipeline_depth,
     )
-    engine = PredictEngine(loaded.model, loaded.params, tokenizer, config, mesh=mesh)
+    engine = PredictEngine(
+        loaded.model, loaded.params, tokenizer, config, mesh=mesh, rank=proc_index
+    )
+    shard_kw = {"shard_index": proc_index, "num_shards": proc_count}
 
     suffix = data_path.suffix.lower()
     t0 = time.perf_counter()
     if suffix == ".bam":
-        stats = engine.predict_bam(data_path, output_path, threads=max(1, args.workers or 4))
+        stats = engine.predict_bam(
+            data_path, output_path, threads=max(1, args.workers or 4), **shard_kw
+        )
     elif suffix in (".fq", ".fastq", ".gz"):
-        stats = engine.predict_fastq(data_path, output_path)
+        stats = engine.predict_fastq(data_path, output_path, **shard_kw)
     elif suffix == ".parquet":
-        stats = engine.predict_parquet(data_path, output_path)
+        stats = engine.predict_parquet(data_path, output_path, **shard_kw)
     else:
         log.error("Unsupported input type: %s", data_path)
         return 1
@@ -234,6 +273,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fast mode: per-bucket batch rows = budget // bucket")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="batches in flight before result fetch")
+    p.add_argument("--platform", default=None,
+                   help="force the jax platform (tpu/cpu); also CHIMERALM_PLATFORM")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-process coordinator address (host:port); enables jax.distributed")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total number of processes in the distributed run")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index in the distributed run")
     p.set_defaults(func=cmd_predict)
 
     p = sub.add_parser("filter", help="Filter the BAM file by predictions.")

@@ -1,0 +1,264 @@
+"""Train the flagship HyenaDNA classifier on the synthetic WGA-chimera task.
+
+The reference ships a *pretrained* production model (reference:
+chimeralm/models/lm.py:12-37 pulls yangliz5/chimeralm, val F1 0.9347 per
+scripts/run_eval.sh:30).  Those weights are unreachable here, so this script
+produces the equivalent in-framework: a length-curriculum training run
+(short -> long context) of ``HyenaDnaClassifier``, optionally seeded by
+next-base LM pretraining, ending with a held-out test at the longest context.
+
+TPU-shape discipline: every stage trains at ONE fixed (batch, ctx) shape
+(padding="max_length" + drop_last) so the axon relay compiles each step
+function exactly once per stage.
+
+Usage:
+    python scripts/train_flagship.py --preset pilot      # d64 x 2, ctx<=2048 (CPU-ok)
+    python scripts/train_flagship.py --preset flagship   # d256 x 4, ctx<=8192 (TPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+logger = logging.getLogger("train_flagship")
+
+
+@dataclasses.dataclass
+class Stage:
+    name: str
+    ctx: int           # fixed sequence length (tokens) for the whole stage
+    min_len: int       # read-length range of the stage's dataset
+    max_len: int
+    n_reads: int
+    batch_size: int
+    epochs: int
+    lr: float
+
+
+PRESETS = {
+    # CPU-sized recipe used to validate the curriculum end-to-end
+    "pilot": dict(
+        model=dict(d_model=64, n_layer=2, d_inner=256, max_seq_len=2048, filter_order=32),
+        stages=[
+            Stage("s1_short", 512, 200, 480, 2000, 32, 30, 1e-3),
+            Stage("s2_long", 2048, 300, 1900, 3000, 16, 30, 5e-4),
+        ],
+        final_ctx=2048,
+    ),
+    # the real thing: small_32k config at up to 8k context
+    "flagship": dict(
+        model=dict(d_model=256, n_layer=4, d_inner=1024, max_seq_len=32768),
+        stages=[
+            Stage("s1_short", 512, 200, 480, 6000, 64, 20, 6e-4),
+            Stage("s2_mid", 2048, 300, 1900, 8000, 16, 20, 3e-4),
+            Stage("s3_long", 8192, 300, 7700, 8000, 8, 15, 1.5e-4),
+        ],
+        final_ctx=8192,
+    ),
+}
+
+
+def make_stage_data(stage: Stage, workdir: Path, seed: int) -> Path:
+    import make_synthetic_dataset as synth
+
+    path = workdir / f"{stage.name}_{stage.n_reads}_{stage.min_len}_{stage.max_len}_{seed}.parquet"
+    if not path.exists():
+        synth.generate(stage.n_reads, path, seed=seed, min_len=stage.min_len, max_len=stage.max_len)
+    return path
+
+
+def build_datamodule(tok, path: Path, stage: Stage):
+    from chimeralm_tpu.data.collator import DataCollator
+    from chimeralm_tpu.data.datamodule import ParquetDataModule
+
+    dm = ParquetDataModule(
+        tok,
+        train_data_path=path,
+        batch_size=stage.batch_size,
+        train_val_test_split=(0.8, 0.1, 0.1),
+    )
+    # fixed-shape batches: one compiled (B, ctx) step per stage
+    dm.collator = DataCollator(tok, padding="max_length", max_length=stage.ctx)
+    return dm
+
+
+def reset_stage_meta(ckpt_dir: Path, tag: str) -> Path:
+    """Make a stage checkpoint resumable as a *fresh* run (params carried,
+    epochs/scheduler/stopper reset)."""
+    src = ckpt_dir / f"{tag}.ckpt.msgpack"
+    seed_path = ckpt_dir / "stage_seed.ckpt.msgpack"
+    seed_path.write_bytes(src.read_bytes())
+    (ckpt_dir / "stage_seed.meta.json").write_text(json.dumps({"epoch": -1}))
+    return seed_path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=sorted(PRESETS), default="flagship")
+    p.add_argument("--workdir", default=str(REPO / "demo" / "flagship_run"))
+    p.add_argument("--out", default=str(REPO / "demo" / "flagship"))
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--pretrain-steps", type=int, default=0,
+                   help="next-base LM pretraining steps before stage 1 (0 = off)")
+    p.add_argument("--pretrain-lr", type=float, default=6e-4)
+    p.add_argument("--filter-lr-scale", type=float, default=1.0)
+    p.add_argument("--warmup-steps", type=int, default=200)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--platform", default=None, help="force jax platform (cpu for pilots)")
+    p.add_argument("--max-stage", type=int, default=None, help="stop after stage N (1-based)")
+    p.add_argument("--stage-epochs", type=int, default=None, help="override epochs for every stage")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", datefmt="%H:%M:%S")
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from chimeralm_tpu.data.tokenizer import CharacterTokenizer
+    from chimeralm_tpu.models.hyena import HyenaConfig, HyenaDnaClassifier
+    from chimeralm_tpu.runtime.optim import make_adamw_grouped
+    from chimeralm_tpu.runtime.task import ClassificationTask
+    from chimeralm_tpu.runtime.trainer import CsvLogger, Trainer, TrainerConfig
+
+    preset = PRESETS[args.preset]
+    stages: list[Stage] = preset["stages"]
+    if args.max_stage:
+        stages = stages[: args.max_stage]
+    if args.stage_epochs:
+        stages = [dataclasses.replace(s, epochs=args.stage_epochs) for s in stages]
+
+    workdir = Path(args.workdir); workdir.mkdir(parents=True, exist_ok=True)
+    out_dir = Path(args.out); out_dir.mkdir(parents=True, exist_ok=True)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = HyenaConfig(**preset["model"], dtype=dtype)
+    model = HyenaDnaClassifier(config=cfg)
+    tok = CharacterTokenizer(model_max_length=preset["final_ctx"] + 2, padding_side="left")
+
+    logger.info("platform=%s devices=%s preset=%s", jax.default_backend(), jax.devices(), args.preset)
+
+    # -- optional pretraining ------------------------------------------------
+    pretrained_backbone = None
+    if args.pretrain_steps > 0:
+        from chimeralm_tpu.runtime.pretrain import PretrainTask
+
+        pt_stage = stages[min(1, len(stages) - 1)]
+        pt_path = make_stage_data(pt_stage, workdir, args.seed + 100)
+        dm = build_datamodule(tok, pt_path, pt_stage)
+        dm.setup("fit")
+        pt = PretrainTask(cfg, learning_rate=args.pretrain_lr, warmup_steps=args.warmup_steps)
+        pstep = pt.jit_train_step()
+        rng = jax.random.PRNGKey(args.seed)
+        pstate = pt.init_state(rng, jnp.zeros((1, pt_stage.ctx), jnp.int32))
+        t0 = time.time()
+        done, epoch = 0, 0
+        while done < args.pretrain_steps:
+            for batch in dm.train_batches(epoch, args.seed, drop_last=True):
+                pstate, ploss = pstep(pstate, jnp.asarray(batch["input_ids"]), rng)
+                done += 1
+                if done % 50 == 0:
+                    logger.info("pretrain %d/%d loss=%.4f (%.0fs)", done, args.pretrain_steps,
+                                float(ploss), time.time() - t0)
+                if done >= args.pretrain_steps:
+                    break
+            epoch += 1
+        pretrained_backbone = pt.export_backbone(pstate)
+        logger.info("pretraining done; backbone exported")
+
+    # -- curriculum ----------------------------------------------------------
+    ckpt_path = None
+    results = {}
+    last_trainer = None
+    last_dm = None
+    for i, stage in enumerate(stages):
+        data_path = make_stage_data(stage, workdir, args.seed + i)
+        dm = build_datamodule(tok, data_path, stage)
+        task = ClassificationTask(
+            model,
+            optimizer=make_adamw_grouped(
+                stage.lr, args.weight_decay, warmup_steps=args.warmup_steps,
+                filter_lr_scale=args.filter_lr_scale,
+            ),
+        )
+        ckpt_dir = workdir / f"ckpt_{stage.name}"
+        trainer = Trainer(
+            task,
+            TrainerConfig(
+                max_epochs=stage.epochs, early_stop_patience=max(8, stage.epochs // 2),
+                plateau_patience=3, seed=args.seed, learning_rate=stage.lr,
+                drop_last=True,
+            ),
+            ckpt_dir=ckpt_dir,
+            loggers=[CsvLogger(workdir / f"metrics_{stage.name}.csv")],
+        )
+
+        if ckpt_path is None and pretrained_backbone is not None:
+            # transplant: init a state, seed the backbone, save as stage seed
+            from chimeralm_tpu.runtime.pretrain import seed_classifier_params
+
+            state = task.init_state(jax.random.PRNGKey(args.seed), jnp.zeros((1, stage.ctx), jnp.int32))
+            state = state.replace(params=seed_classifier_params(dict(state.params), pretrained_backbone))
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            trainer.save_checkpoint(state, "stage_seed", {"epoch": -1})
+            ckpt_path = ckpt_dir / "stage_seed.ckpt.msgpack"
+
+        logger.info("=== stage %s: ctx=%d reads %d-%d batch=%d lr=%g epochs=%d",
+                    stage.name, stage.ctx, stage.min_len, stage.max_len,
+                    stage.batch_size, stage.lr, stage.epochs)
+        t0 = time.time()
+        trainer.fit(dm, ckpt_path=ckpt_path)
+        results[stage.name] = {
+            "val_f1": trainer.callback_metrics.get("val/f1"),
+            "val_f1_best": trainer.callback_metrics.get("val/f1_best"),
+            "seconds": round(time.time() - t0, 1),
+        }
+        logger.info("stage %s done: %s", stage.name, results[stage.name])
+        # carry the best params into the next stage, epochs reset
+        best = trainer.best_ckpt_path or (ckpt_dir / "last.ckpt.msgpack")
+        ckpt_path = reset_stage_meta(ckpt_dir, Path(best).name.replace(".ckpt.msgpack", ""))
+        last_trainer, last_dm = trainer, dm
+
+    # -- held-out test at the final context ----------------------------------
+    final_stage = stages[-1]
+    state = last_trainer.task.init_state(
+        jax.random.PRNGKey(0), jnp.zeros((1, final_stage.ctx), jnp.int32)
+    )
+    state, _ = last_trainer.load_checkpoint(state, ckpt_path)
+    test_metrics = last_trainer.test(state.params, last_dm, model_state=state.model_state)
+    results["test"] = {k: float(v) for k, v in test_metrics.items()}
+
+    # -- export --------------------------------------------------------------
+    (out_dir / "checkpoint.msgpack").write_bytes(Path(ckpt_path).read_bytes())
+    meta = {
+        "preset": args.preset,
+        "model": preset["model"],
+        "dtype": args.dtype,
+        "final_ctx": preset["final_ctx"],
+        "stages": [dataclasses.asdict(s) for s in stages],
+        "pretrain_steps": args.pretrain_steps,
+        "filter_lr_scale": args.filter_lr_scale,
+        "seed": args.seed,
+        "results": results,
+    }
+    (out_dir / "meta.json").write_text(json.dumps(meta, indent=2))
+    logger.info("exported to %s; results: %s", out_dir, json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,6 +1,7 @@
 """Parallel layer tests: sharding rules, host striping, all-gather merge."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -71,3 +72,58 @@ def test_profiling_stage_timer():
         pass
     rep = t.report()
     assert rep["tokenize"]["items"] == 100
+
+
+@pytest.mark.slow
+def test_two_process_distributed_predict_matches_single(tmp_path):
+    """True >=2-process run: jax.distributed.initialize over a local TCP
+    coordinator, sharded predict through the CLI, merged output byte-identical
+    to a single-process run (reference: configs/trainer/ddp_sim.yaml)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from chimeralm_tpu.models.hyena import tiny_config
+    from chimeralm_tpu.models.lm import ChimeraLM, save_pretrained
+    from chimeralm_tpu.runtime.writers import load_predictions_from_folder
+
+    ckpt_dir = tmp_path / "ckpt"
+    save_pretrained(ChimeraLM.new(seed=0, config=tiny_config(), example_len=64), ckpt_dir)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, CHIMERALM_PLATFORM="cpu", XLA_FLAGS="", JAX_PLATFORMS="")
+    base = [
+        sys.executable, "-m", "chimeralm_tpu", "predict", "tests/data/test_chimric_reads.bam",
+        "--ckpt", str(ckpt_dir), "--mode", "fast",
+    ]
+    procs = [
+        subprocess.Popen(
+            base + ["-o", str(tmp_path / "multi"),
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert "process 0/2" in outs[0] and "process 1/2" in outs[1]
+
+    single = subprocess.run(
+        base + ["-o", str(tmp_path / "single")],
+        env=env, capture_output=True, timeout=600,
+    )
+    assert single.returncode == 0, single.stdout[-2000:]
+
+    multi = load_predictions_from_folder(tmp_path / "multi")
+    ref = load_predictions_from_folder(tmp_path / "single")
+    assert len(ref) == 100
+    assert multi == ref
+    # both ranks actually contributed shard files
+    ranks = {f.name.split("_")[0] for f in (tmp_path / "multi").glob("*.txt")}
+    assert ranks == {"0", "1"}
