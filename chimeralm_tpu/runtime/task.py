@@ -128,6 +128,42 @@ class ClassificationTask:
         logits, _ = self._forward(params, batch, True, model_state=model_state)
         return logits, batch.get("labels")
 
+    # -- accumulating variants (metrics folded into jit; no per-batch eager
+    # device ops or D2H — VERDICT r1 item 8) -------------------------------
+    @staticmethod
+    def zero_acc() -> dict:
+        from chimeralm_tpu.runtime.metrics import MeanState
+
+        # distinct buffers per leaf: donated arguments may not alias
+        z = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+        return {
+            "counts": ConfusionCounts(z(), z(), z(), z()),
+            "loss": MeanState(z(), z()),
+        }
+
+    def train_step_acc(self, state: TrainState, batch: dict, dropout_rng, acc: dict):
+        """train_step with in-jit metric accumulation; returns (state, acc)."""
+        state, m = self.train_step(state, batch, dropout_rng)
+        return state, {
+            "counts": acc["counts"].merge(m["counts"]),
+            "loss": acc["loss"].update(m["loss"], m["n"]),
+        }
+
+    def eval_step_acc(self, params, batch: dict, model_state, acc: dict) -> dict:
+        out = self.eval_step(params, batch, model_state)
+        return {
+            "counts": acc["counts"].merge(out["counts"]),
+            "loss": acc["loss"].update(out["loss"], out["n"]),
+        }
+
+    def jit_steps_acc(self):
+        """jitted accumulating steps: one device call per batch, accumulators
+        donated, metrics fetched once per epoch."""
+        return (
+            jax.jit(self.train_step_acc, donate_argnums=(0, 3)),
+            jax.jit(self.eval_step_acc, donate_argnums=(3,)),
+        )
+
     # -- compiled variants -------------------------------------------------
     def jit_steps(self):
         """jit train/eval steps.

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chimeralm_tpu.runtime.metrics import ConfusionCounts, MeanState
 from chimeralm_tpu.runtime.optim import EarlyStopping, ReduceLROnPlateau, set_learning_rate
 from chimeralm_tpu.runtime.task import ClassificationTask, TrainState
 
@@ -89,7 +88,9 @@ class Trainer:
         self.ckpt_dir = Path(ckpt_dir) if ckpt_dir else None
         self.loggers = loggers or []
         self.callback_metrics: dict[str, float] = {}
-        self._train_step, self._eval_step = task.jit_steps()
+        # accumulating steps: metrics merge inside jit (one device call per
+        # batch, no eager per-batch ops or fetches — relay-friendly)
+        self._train_step, self._eval_step = task.jit_steps_acc()
         self.best_ckpt_path: Path | None = None
 
     # -- batch placement ---------------------------------------------------
@@ -172,14 +173,12 @@ class Trainer:
 
     # -- loops -------------------------------------------------------------
     def _run_eval(self, params, batches, limit: int | None, prefix: str, extra_metrics: bool = False, model_state=None) -> dict:
-        counts = ConfusionCounts.zero()
-        loss = MeanState.zero()
+        acc = self.task.zero_acc()
         for i, batch in enumerate(batches):
             if limit is not None and i >= limit:
                 break
-            out = self._eval_step(params, self._place(batch), model_state)
-            counts = counts.merge(out["counts"])
-            loss = loss.update(out["loss"], out["n"])
+            acc = self._eval_step(params, self._place(batch), model_state, acc)
+        counts, loss = acc["counts"], acc["loss"]
         metrics = {
             f"{prefix}/loss": float(loss.compute()),
             f"{prefix}/f1": float(counts.f1()),
@@ -227,8 +226,7 @@ class Trainer:
         overfit_cache = None
         for epoch in range(start_epoch, max_epochs):
             t0 = time.perf_counter()
-            counts = ConfusionCounts.zero()
-            loss = MeanState.zero()
+            acc = self.task.zero_acc()
             if cfg.overfit_batches:
                 if overfit_cache is None:
                     it = datamodule.train_batches(0, cfg.seed, drop_last=cfg.drop_last)
@@ -240,13 +238,11 @@ class Trainer:
             for i, batch in enumerate(batches):
                 if limit_train is not None and i >= limit_train:
                     break
-                state, m = self._train_step(state, self._place(batch), dropout_rng)
-                counts = counts.merge(m["counts"])
-                loss = loss.update(m["loss"], m["n"])
+                state, acc = self._train_step(state, self._place(batch), dropout_rng, acc)
                 n_batches += 1
             train_metrics = {
-                "train/loss": float(loss.compute()),
-                "train/f1": float(counts.f1()),
+                "train/loss": float(acc["loss"].compute()),
+                "train/f1": float(acc["counts"].f1()),
                 "epoch": epoch,
                 "lr": scheduler.lr,
             }

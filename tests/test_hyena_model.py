@@ -134,6 +134,68 @@ def test_torch_mirror_small32k_config():
     assert (f_logits.argmax(1) == t_logits.argmax(1)).all()
 
 
+@pytest.mark.slow
+def test_torch_mirror_small32k_per_layer_golden():
+    """Per-layer goldens at flagship scale: embeddings, each Hyena block, and
+    the final norm must match the torch mirror individually (VERDICT r1 item
+    4 — localizes any graph divergence instead of only testing end-to-end).
+
+    Ground truth for the real backbone lives in HF remote code (reference:
+    chimeralm/models/components/hyena.py:237); the mirror encodes the known
+    HyenaDNA-small-32k graph and the converter maps its exact key naming.
+    """
+    torch = pytest.importorskip("torch")
+    from tests.torch_mirror import SMALL_32K_CFG, ChimeraLMTorch
+
+    from chimeralm_tpu.models.convert import convert_state_dict
+
+    torch.manual_seed(3)
+    tmodel = ChimeraLMTorch(SMALL_32K_CFG).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    cfg = small_32k_config()
+    fmodel = HyenaDnaClassifier(cfg)
+    ids_np = np.random.default_rng(3).integers(0, 12, size=(2, 256)).astype(np.int32)
+    ids_t = torch.from_numpy(ids_np).long()
+
+    # torch per-layer captures via forward hooks
+    t_acts: dict[str, np.ndarray] = {}
+
+    def hook(name):
+        def fn(mod, args, out):
+            t_acts[name] = out.detach().numpy()
+        return fn
+
+    bb = tmodel.backbone.backbone
+    bb.embeddings.register_forward_hook(hook("embed"))
+    for i, layer in enumerate(bb.layers):
+        layer.register_forward_hook(hook(f"block_{i}"))
+    bb.ln_f.register_forward_hook(hook("ln_f"))
+    with torch.no_grad():
+        t_logits = tmodel(ids_t).numpy()
+
+    # flax captures via capture_intermediates
+    params = convert_state_dict(sd)
+    f_logits, state = fmodel.apply(
+        {"params": params}, jnp.asarray(ids_np), capture_intermediates=True, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]["backbone"]
+    f_acts = {
+        "embed": np.asarray(inter["word_embeddings"]["__call__"][0]),
+        "ln_f": np.asarray(inter["ln_f"]["__call__"][0]),
+    }
+    for i in range(cfg.n_layer):
+        f_acts[f"block_{i}"] = np.asarray(inter[f"layers_{i}"]["__call__"][0])
+
+    # tolerance widens with depth (fft roundoff accumulates through residuals)
+    for name, atol in [("embed", 1e-6)] + [(f"block_{i}", 2e-4 * (i + 1)) for i in range(cfg.n_layer)] + [("ln_f", 1e-3)]:
+        np.testing.assert_allclose(
+            f_acts[name], t_acts[name], atol=atol, rtol=1e-3,
+            err_msg=f"layer {name} diverged from the torch mirror",
+        )
+    np.testing.assert_allclose(np.asarray(f_logits), t_logits, atol=5e-4, rtol=1e-3)
+
+
 def test_matmul_fft_matches_jnp():
     from chimeralm_tpu.ops import matmul_fft as mf
 
