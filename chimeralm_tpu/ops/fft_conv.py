@@ -60,6 +60,19 @@ def fft_conv(
         import jax
 
         method = "matmul" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas":
+        # fused VMEM-resident kernel; falls back to the einsum path for
+        # unsupported factorizations (small buckets) or non-TPU backends
+        import jax
+
+        from chimeralm_tpu.ops.pallas_dft import fft_conv_pallas, supported
+
+        D = u.shape[-2]
+        if jax.default_backend() == "tpu" and supported(fft_size, D, L):
+            if u.ndim == 2:
+                return fft_conv_pallas(u[None], k, bias, fft_size)[0].astype(u.dtype)
+            return fft_conv_pallas(u, k, bias, fft_size).astype(u.dtype)
+        method = "matmul"
     if method == "matmul":
         from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
 

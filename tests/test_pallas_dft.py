@@ -1,0 +1,98 @@
+"""Fused Pallas DFT-conv kernel tests (interpret mode on CPU)."""
+
+import contextlib
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
+from chimeralm_tpu.ops.pallas_dft import (
+    _factor,
+    dft_conv_pallas,
+    fft_conv_pallas,
+    supported,
+)
+
+
+@contextlib.contextmanager
+def _interpret_pallas():
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        yield
+    finally:
+        pl.pallas_call = orig
+
+
+def _data(B=2, D=8, L=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    return u, k, bias
+
+
+def test_supported_shapes():
+    assert supported(8192, 8, 4096)   # 64 x 128
+    assert supported(65536, 256, 32768)  # 256 x 256
+    assert not supported(1024, 8, 512)  # factors too small
+    assert _factor(65536) == (256, 256)
+
+
+@pytest.mark.parametrize("L", [4096, 8192])
+def test_matches_matmul_fft(L):
+    u, k, bias = _data(L=L)
+    n = 2 * L
+    ref = np.asarray(fft_conv_matmul(u, k, bias, n))
+    out = np.asarray(dft_conv_pallas(u, k, bias, n, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4 * np.abs(ref).max(), rtol=1e-4)
+
+
+def test_matches_naive_conv():
+    """Direct O(L^2) ground truth on a small-but-supported shape."""
+    from chimeralm_tpu.ops.fft_conv import reference_conv_naive
+
+    rng = np.random.default_rng(3)
+    B, D, L = 1, 2, 4096
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    ref = reference_conv_naive(np.asarray(u), np.asarray(k), np.asarray(bias))
+    out = np.asarray(dft_conv_pallas(u, k, bias, 2 * L, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
+
+
+def test_bfloat16_io():
+    u, k, bias = _data()
+    out = dft_conv_pallas(u.astype(jnp.bfloat16), k, bias, 2 * u.shape[-1], interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(fft_conv_matmul(u, k, bias, 2 * u.shape[-1]))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, atol=0.12 * np.abs(ref).max()
+    )
+
+
+def test_vjp_grads_match_einsum_path():
+    u, k, bias = _data(B=1, D=4)
+    n = 2 * u.shape[-1]
+    cot = jnp.asarray(np.random.default_rng(1).normal(size=u.shape), jnp.float32)
+
+    def loss_pallas(u, k, bias):
+        return jnp.sum(fft_conv_pallas(u, k, bias, n) * cot)
+
+    def loss_ref(u, k, bias):
+        return jnp.sum(fft_conv_matmul(u, k, bias, n) * cot)
+
+    with _interpret_pallas():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(u, k, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(u, k, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3
+        )
