@@ -29,7 +29,8 @@ BAM = REPO / "tests/data/test_chimric_reads.bam"
 CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 
 
-def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2, io_workers=2):
+def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2, io_workers=2,
+                 fft_method: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +38,10 @@ def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_de
     from chimeralm_tpu.models.hyena import HyenaDnaClassifier, small_32k_config
     from chimeralm_tpu.runtime.predictor import PredictConfig, PredictEngine
 
-    config = small_32k_config(dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    config = small_32k_config(
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        fft_method=fft_method or os.environ.get("CHIMERALM_FFT_METHOD", "auto"),
+    )
     model = HyenaDnaClassifier(config)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128), jnp.int32))["params"]
     tokenizer = load_tokenizer_from_hyena_model("hyenadna-small-32k-seqlen")
@@ -116,6 +120,8 @@ def main() -> int:
     parser.add_argument("--cpu-reads", type=int, default=25)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--fft-method", default=None,
+                        help="auto|xla|matmul|pallas (default: CHIMERALM_FFT_METHOD or auto)")
     parser.add_argument("--refresh-cpu", action="store_true")
     args = parser.parse_args()
 
@@ -127,7 +133,8 @@ def main() -> int:
 
     baseline = cpu_baseline(args.cpu_reads, refresh=args.refresh_cpu)
 
-    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch, args.pipeline_depth, args.io_workers)
+    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch, args.pipeline_depth,
+                          args.io_workers, fft_method=args.fft_method)
     reads = load_reads(args.reads)
     rps = measure(engine, reads)
 

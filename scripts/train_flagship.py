@@ -111,6 +111,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=str(REPO / "demo" / "flagship"))
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--fft-method", default="auto", choices=["auto", "xla", "matmul", "pallas"])
     p.add_argument("--pretrain-steps", type=int, default=0,
                    help="next-base LM pretraining steps before stage 1 (0 = off)")
     p.add_argument("--pretrain-lr", type=float, default=6e-4)
@@ -146,9 +147,12 @@ def main(argv=None) -> int:
     workdir = Path(args.workdir); workdir.mkdir(parents=True, exist_ok=True)
     out_dir = Path(args.out); out_dir.mkdir(parents=True, exist_ok=True)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = HyenaConfig(**preset["model"], dtype=dtype)
+    cfg = HyenaConfig(**preset["model"], dtype=dtype, fft_method=args.fft_method)
     model = HyenaDnaClassifier(config=cfg)
-    tok = CharacterTokenizer(model_max_length=preset["final_ctx"] + 2, padding_side="left")
+    # RIGHT padding: with causal convs, read positions never see pads, so
+    # fixed-shape training is padding-invariant (matches the fast predict
+    # path); heavy LEFT padding was the round-2 pilot's stall culprit
+    tok = CharacterTokenizer(model_max_length=preset["final_ctx"] + 2, padding_side="right")
 
     logger.info("platform=%s devices=%s preset=%s", jax.default_backend(), jax.devices(), args.preset)
 
