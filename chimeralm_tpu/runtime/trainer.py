@@ -53,6 +53,9 @@ class TrainerConfig:
     overfit_batches: int = 0
     drop_last: bool = True
     save_top_k: int = 1
+    # "msgpack" (single-file flax serialization) or "orbax" (sharding-aware
+    # directory checkpoints -- the TPU-native store, SURVEY §5)
+    checkpoint_format: str = "msgpack"
 
 
 class CsvLogger:
@@ -137,10 +140,22 @@ class Trainer:
             "model_state": jax.tree.map(np.asarray, state.model_state),
             "step": int(state.step),
         }
-        path = self.ckpt_dir / f"{tag}.ckpt.msgpack"
-        path.write_bytes(flax.serialization.msgpack_serialize(
-            flax.serialization.to_state_dict(payload)
-        ))
+        if self.config.checkpoint_format == "orbax":
+            import orbax.checkpoint as ocp
+
+            path = (self.ckpt_dir / f"{tag}.ckpt.orbax").resolve()
+            if path.exists():
+                import shutil
+
+                shutil.rmtree(path)
+            ocp.PyTreeCheckpointer().save(
+                path, flax.serialization.to_state_dict(payload)
+            )
+        else:
+            path = self.ckpt_dir / f"{tag}.ckpt.msgpack"
+            path.write_bytes(flax.serialization.msgpack_serialize(
+                flax.serialization.to_state_dict(payload)
+            ))
         if extra is not None:
             (self.ckpt_dir / f"{tag}.meta.json").write_text(json.dumps(extra))
         return path
@@ -156,9 +171,13 @@ class Trainer:
             "step": int(state.step),
         }
         target = flax.serialization.to_state_dict(payload)
-        restored = flax.serialization.from_state_dict(
-            target, flax.serialization.msgpack_restore(path.read_bytes())
-        )
+        if path.suffix == ".orbax" or path.is_dir():
+            import orbax.checkpoint as ocp
+
+            raw = ocp.PyTreeCheckpointer().restore(str(path.resolve()))
+        else:
+            raw = flax.serialization.msgpack_restore(path.read_bytes())
+        restored = flax.serialization.from_state_dict(target, raw)
         new_state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=jax.tree.map(jnp.asarray, restored["params"]),

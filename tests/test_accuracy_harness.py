@@ -52,3 +52,61 @@ def test_train_reaches_high_f1_on_synthetic(tmp_path):
     state, _ = trainer.load_checkpoint(state, tmp_path / "ckpt/last.ckpt.msgpack")
     metrics = trainer.test(state.params, dm, model_state=state.model_state)
     assert metrics["test/f1"] > 0.85, metrics
+
+
+@pytest.mark.slow
+def test_flagship_checkpoint_meets_reference_f1(tmp_path):
+    """The committed flagship checkpoint must hit reference-level F1 on
+    held-out synthetic WGA chimeras at long context.
+
+    Reference quality bar: val F1 0.9347 (reference: scripts/run_eval.sh:30).
+    Skips until ``demo/flagship`` exists (produced by
+    ``scripts/train_flagship.py``).
+    """
+    import json
+
+    ckpt_dir = Path(__file__).parent.parent / "demo" / "flagship"
+    if not (ckpt_dir / "checkpoint.msgpack").exists():
+        pytest.skip("flagship checkpoint not trained yet")
+    meta = json.loads((ckpt_dir / "meta.json").read_text())
+    assert meta["final_ctx"] >= 8192, meta["final_ctx"]
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import make_synthetic_dataset as synth
+    from chimeralm_tpu.data.collator import DataCollator
+    from chimeralm_tpu.data.datamodule import ParquetDataModule
+    from chimeralm_tpu.data.tokenizer import CharacterTokenizer
+    from chimeralm_tpu.models.hyena import HyenaConfig, HyenaDnaClassifier
+    from chimeralm_tpu.runtime.metrics import ConfusionCounts
+
+    cfg = HyenaConfig(**meta["model"])
+    model = HyenaDnaClassifier(config=cfg)
+    raw = flax.serialization.msgpack_restore((ckpt_dir / "checkpoint.msgpack").read_bytes())
+    params = jax.tree.map(jnp.asarray, raw["params"])
+
+    # held-out reads: seed disjoint from every training-stage seed
+    final = meta["stages"][-1]
+    data = synth.generate(
+        64, tmp_path / "heldout.parquet", seed=9999,
+        min_len=final["min_len"], max_len=final["max_len"],
+    )
+    ctx = final["ctx"]
+    tok = CharacterTokenizer(model_max_length=ctx + 2, padding_side="right")
+    dm = ParquetDataModule(tok, train_data_path=data, batch_size=8,
+                           train_val_test_split=(0.0, 0.0, 1.0))
+    dm.collator = DataCollator(tok, padding="max_length", max_length=ctx)
+    dm.setup("test")
+
+    fwd = jax.jit(lambda p, ids, m: model.apply({"params": p}, ids, attention_mask=m, deterministic=True))
+    counts = ConfusionCounts.zero()
+    for batch in dm.test_batches():
+        ids = jnp.asarray(batch["input_ids"])
+        mask = jnp.asarray((batch["input_ids"] != 4).astype(np.int32))
+        logits = fwd(params, ids, mask)
+        counts = counts.update(jnp.argmax(logits, axis=-1), jnp.asarray(batch["labels"]))
+    f1 = float(counts.f1())
+    assert f1 >= 0.93, f"flagship held-out F1 {f1:.4f} below the reference bar"

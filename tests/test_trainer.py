@@ -111,3 +111,28 @@ def test_tensorboard_logger(tmp_path):
     lg.log_metrics({"val/f1": 0.5, "skip": "str"}, step=1)
     lg.log_hyperparams({"lr": 1e-4})
     assert list((tmp_path / "t").iterdir())
+
+
+def test_trainer_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax-format checkpoints save/restore the full TrainState (SURVEY §5)."""
+    import jax
+    import jax.numpy as jnp
+
+    dm = make_dm(batch_size=8, mml=256)
+    model = HyenaDnaClassifier(tiny_config(embed_dropout=0.0))
+    task = ClassificationTask(model, learning_rate=1e-3)
+    cfg = TrainerConfig(
+        max_epochs=1, overfit_batches=1, limit_val_batches=1, seed=0,
+        learning_rate=1e-3, checkpoint_format="orbax",
+    )
+    trainer = Trainer(task, cfg, ckpt_dir=tmp_path / "ck")
+    state = trainer.fit(dm)
+    last = tmp_path / "ck" / "last.ckpt.orbax"
+    assert last.is_dir()
+
+    fresh = task.init_state(jax.random.PRNGKey(1), jnp.zeros((1, 64), jnp.int32))
+    restored, meta = trainer.load_checkpoint(fresh, last)
+    assert int(restored.step) == int(state.step) > 0
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta.get("epoch") == 0
