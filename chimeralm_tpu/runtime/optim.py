@@ -19,23 +19,32 @@ import optax
 
 
 def make_adamw(
-    learning_rate: float = 1e-4, weight_decay: float = 0.01, warmup_steps: int = 0
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 0,
+    clip_norm: float | None = None,
 ) -> optax.GradientTransformation:
     """AdamW with an injectable learning rate (mutable in opt_state).
 
     ``warmup_steps`` applies a linear per-step ramp multiplier on top of the
     injected (plateau-scheduled) base LR — from-scratch Hyena training needs
     it (sin-activation filters destabilize at full LR from step 0).
+    ``clip_norm`` adds global-norm gradient clipping before the update (a
+    single loss spike can knock a converged long-context Hyena into the
+    chance basin — round-2 pilot observation).
     """
     adamw = optax.inject_hyperparams(optax.adamw)(
         learning_rate=learning_rate, weight_decay=weight_decay
     )
-    if warmup_steps <= 0:
-        return adamw
-    ramp = optax.scale_by_schedule(
-        lambda step: jnp.minimum(1.0, (step + 1) / float(warmup_steps))
-    )
-    return optax.chain(adamw, ramp)
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(adamw)
+    if warmup_steps > 0:
+        parts.append(optax.scale_by_schedule(
+            lambda step: jnp.minimum(1.0, (step + 1) / float(warmup_steps))
+        ))
+    return parts[0] if len(parts) == 1 else optax.chain(*parts)
 
 
 def make_adamw_grouped(
@@ -43,6 +52,7 @@ def make_adamw_grouped(
     weight_decay: float = 0.01,
     warmup_steps: int = 0,
     filter_lr_scale: float = 1.0,
+    clip_norm: float | None = None,
 ) -> optax.GradientTransformation:
     """AdamW with a separate param group for Hyena implicit-filter params.
 
@@ -72,12 +82,15 @@ def make_adamw_grouped(
         learning_rate=learning_rate * filter_lr_scale, weight_decay=0.0
     )
     tx = optax.multi_transform({"default": default, "filter": filt}, label)
-    if warmup_steps <= 0:
-        return tx
-    ramp = optax.scale_by_schedule(
-        lambda step: jnp.minimum(1.0, (step + 1) / float(warmup_steps))
-    )
-    return optax.chain(tx, ramp)
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(tx)
+    if warmup_steps > 0:
+        parts.append(optax.scale_by_schedule(
+            lambda step: jnp.minimum(1.0, (step + 1) / float(warmup_steps))
+        ))
+    return parts[0] if len(parts) == 1 else optax.chain(*parts)
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -89,7 +102,10 @@ def set_learning_rate(opt_state, lr: float):
     """
     inner = opt_state
     if not hasattr(inner, "hyperparams") and not hasattr(inner, "inner_states"):
-        inner = opt_state[0]  # chained with warmup ramp
+        # chained (clip / warmup ramp): find the stateful transform
+        inner = next(
+            s for s in opt_state if hasattr(s, "hyperparams") or hasattr(s, "inner_states")
+        )
     if hasattr(inner, "inner_states"):  # multi_transform groups
         states = inner.inner_states
         base = float(states["default"].inner_state.hyperparams["learning_rate"])

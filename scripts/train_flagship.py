@@ -94,14 +94,28 @@ def build_datamodule(tok, path: Path, stage: Stage):
     return dm
 
 
-def reset_stage_meta(ckpt_dir: Path, tag: str) -> Path:
-    """Make a stage checkpoint resumable as a *fresh* run (params carried,
-    epochs/scheduler/stopper reset)."""
-    src = ckpt_dir / f"{tag}.ckpt.msgpack"
-    seed_path = ckpt_dir / "stage_seed.ckpt.msgpack"
-    seed_path.write_bytes(src.read_bytes())
-    (ckpt_dir / "stage_seed.meta.json").write_text(json.dumps({"epoch": -1}))
-    return seed_path
+def make_stage_seed(trainer, task, stage_ctx: int, prev_ckpt: Path, seed: int, backbone=None) -> Path:
+    """Write a params-only seed checkpoint for the next stage.
+
+    Carries params (+model_state) from ``prev_ckpt`` (or a pretrained
+    backbone) into a FRESH optimizer state — restoring the previous stage's
+    Adam moments across a read-length distribution shift destabilized
+    training in the round-2 pilots; a fresh opt_state re-enables warmup.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    state = task.init_state(jax.random.PRNGKey(seed), jnp.zeros((1, stage_ctx), jnp.int32))
+    if prev_ckpt is not None:
+        prev, _ = trainer.load_checkpoint(state, prev_ckpt)
+        state = state.replace(params=prev.params, model_state=prev.model_state)
+    elif backbone is not None:
+        from chimeralm_tpu.runtime.pretrain import seed_classifier_params
+
+        state = state.replace(params=seed_classifier_params(dict(state.params), backbone))
+    trainer.ckpt_dir.mkdir(parents=True, exist_ok=True)
+    trainer.save_checkpoint(state, "stage_seed", {"epoch": -1})
+    return trainer.ckpt_dir / "stage_seed.ckpt.msgpack"
 
 
 def main(argv=None) -> int:
@@ -118,6 +132,8 @@ def main(argv=None) -> int:
     p.add_argument("--filter-lr-scale", type=float, default=1.0)
     p.add_argument("--warmup-steps", type=int, default=200)
     p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--clip-norm", type=float, default=1.0,
+                   help="global-norm gradient clip (spikes destabilize long-context Hyena)")
     p.add_argument("--platform", default=None, help="force jax platform (cpu for pilots)")
     p.add_argument("--max-stage", type=int, default=None, help="stop after stage N (1-based)")
     p.add_argument("--stage-epochs", type=int, default=None, help="override epochs for every stage")
@@ -185,10 +201,11 @@ def main(argv=None) -> int:
         logger.info("pretraining done; backbone exported")
 
     # -- curriculum ----------------------------------------------------------
-    ckpt_path = None
+    prev_best: Path | None = None
     results = {}
     last_trainer = None
     last_dm = None
+    ckpt_path = None
     for i, stage in enumerate(stages):
         data_path = make_stage_data(stage, workdir, args.seed + i)
         dm = build_datamodule(tok, data_path, stage)
@@ -196,7 +213,7 @@ def main(argv=None) -> int:
             model,
             optimizer=make_adamw_grouped(
                 stage.lr, args.weight_decay, warmup_steps=args.warmup_steps,
-                filter_lr_scale=args.filter_lr_scale,
+                filter_lr_scale=args.filter_lr_scale, clip_norm=args.clip_norm,
             ),
         )
         ckpt_dir = workdir / f"ckpt_{stage.name}"
@@ -211,15 +228,13 @@ def main(argv=None) -> int:
             loggers=[CsvLogger(workdir / f"metrics_{stage.name}.csv")],
         )
 
-        if ckpt_path is None and pretrained_backbone is not None:
-            # transplant: init a state, seed the backbone, save as stage seed
-            from chimeralm_tpu.runtime.pretrain import seed_classifier_params
-
-            state = task.init_state(jax.random.PRNGKey(args.seed), jnp.zeros((1, stage.ctx), jnp.int32))
-            state = state.replace(params=seed_classifier_params(dict(state.params), pretrained_backbone))
-            ckpt_dir.mkdir(parents=True, exist_ok=True)
-            trainer.save_checkpoint(state, "stage_seed", {"epoch": -1})
-            ckpt_path = ckpt_dir / "stage_seed.ckpt.msgpack"
+        # params-only seed: previous stage's best weights (or the pretrained
+        # backbone), FRESH optimizer state + warmup
+        if prev_best is not None or pretrained_backbone is not None:
+            ckpt_path = make_stage_seed(
+                trainer, task, stage.ctx, prev_best, args.seed,
+                backbone=None if prev_best is not None else pretrained_backbone,
+            )
 
         logger.info("=== stage %s: ctx=%d reads %d-%d batch=%d lr=%g epochs=%d",
                     stage.name, stage.ctx, stage.min_len, stage.max_len,
@@ -232,9 +247,8 @@ def main(argv=None) -> int:
             "seconds": round(time.time() - t0, 1),
         }
         logger.info("stage %s done: %s", stage.name, results[stage.name])
-        # carry the best params into the next stage, epochs reset
-        best = trainer.best_ckpt_path or (ckpt_dir / "last.ckpt.msgpack")
-        ckpt_path = reset_stage_meta(ckpt_dir, Path(best).name.replace(".ckpt.msgpack", ""))
+        prev_best = trainer.best_ckpt_path or (ckpt_dir / "last.ckpt.msgpack")
+        ckpt_path = prev_best
         last_trainer, last_dm = trainer, dm
 
     # -- held-out test at the final context ----------------------------------
