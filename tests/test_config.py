@@ -133,3 +133,30 @@ def test_eval_entry_predict_branch(tmp_path):
 
     preds = load_predictions_from_folder(pred_dir)
     assert len(preds) == 25
+
+
+def test_experiment_group_override_replaces_node():
+    """`override /model:` in an experiment REPLACES the group node (hydra
+    semantics); deep-merging left the default option's keys behind and broke
+    experiment=cnn/transformer/mamba at the CLI (round-2 regression test)."""
+    from chimeralm_tpu.config.compose import compose
+
+    cfg = compose("train", ["experiment=cnn"])
+    assert cfg["model"]["model"]["_target_"].endswith("DNAConvNet")
+    # no hyena keys leaked into the cnn node
+    assert "config" not in cfg["model"]["model"]
+
+    for exp, target in [
+        ("hyena", "HyenaDnaClassifier"),
+        ("transformer", "SequenceCNNTransformer"),
+        ("mamba", "MambaSequenceClassification"),
+    ]:
+        c = compose("train", [f"experiment={exp}"])
+        assert c["model"]["model"]["_target_"].endswith(target), exp
+
+
+def test_cli_group_choice_beats_experiment_override():
+    from chimeralm_tpu.config.compose import compose
+
+    cfg = compose("train", ["experiment=cnn", "model=transformer"])
+    assert cfg["model"]["model"]["_target_"].endswith("SequenceCNNTransformer")
