@@ -101,6 +101,12 @@ class ChimeraLM:
             candidate = Path(mirror) / str(name_or_path).replace("/", "--")
             if candidate.exists():
                 return candidate
+        # in-framework trained flagship (scripts/train_flagship.py export):
+        # the default model when the hub name has no local mirror
+        if str(name_or_path) == ChimeraLM.DEFAULT_NAME:
+            flagship = Path(__file__).resolve().parents[2] / "demo" / "flagship"
+            if (flagship / "flax_params.msgpack").exists():
+                return flagship
         raise FileNotFoundError(
             f"checkpoint {name_or_path!r} not found locally; this framework has no "
             "network access — set CHIMERALM_CHECKPOINT_DIR to a local mirror"

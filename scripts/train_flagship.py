@@ -261,7 +261,21 @@ def main(argv=None) -> int:
     results["test"] = {k: float(v) for k, v in test_metrics.items()}
 
     # -- export --------------------------------------------------------------
-    (out_dir / "checkpoint.msgpack").write_bytes(Path(ckpt_path).read_bytes())
+    # params-only artifact (the full TrainState ckpt carries Adam moments --
+    # 3x the size); plus a from_pretrained-compatible dir so
+    # `chimeralm predict --ckpt demo/flagship` works directly
+    import flax.serialization
+    import numpy as np
+
+    from chimeralm_tpu.models.lm import LoadedModel, save_pretrained
+
+    params_np = jax.tree.map(np.asarray, state.params)
+    (out_dir / "checkpoint.msgpack").write_bytes(
+        flax.serialization.msgpack_serialize(
+            flax.serialization.to_state_dict({"params": params_np, "step": int(state.step)})
+        )
+    )
+    save_pretrained(LoadedModel(model, params_np, cfg), out_dir)
     meta = {
         "preset": args.preset,
         "model": preset["model"],
