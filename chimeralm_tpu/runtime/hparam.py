@@ -40,6 +40,10 @@ def _scalar(token: str):
     low = token.lower()
     if low in ("true", "false"):
         return low == "true"
+    if token.startswith("[") or token.startswith("("):
+        import yaml
+
+        return yaml.safe_load(token)
     try:
         return int(token)
     except ValueError:
@@ -48,6 +52,24 @@ def _scalar(token: str):
         return float(token)
     except ValueError:
         return token.strip("'\"")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside brackets (choice([64,128], [256,512]) ...)."""
+    parts, depth, cur = [], 0, ""
+    for ch in s:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    return parts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +138,10 @@ def parse_space(spec: Any) -> ParamSpace:
             return ParamSpace(kind=kind, low=float(_scalar(m.group(2))), high=float(_scalar(m.group(3))))
         m = _CHOICE_RE.match(spec)
         if m:
-            return ParamSpace(kind="categorical", choices=tuple(_scalar(t) for t in m.group(1).split(",")))
+            return ParamSpace(
+                kind="categorical",
+                choices=tuple(_scalar(t) for t in _split_top_level(m.group(1))),
+            )
         m = _RANGE_RE.match(spec)
         if m:
             parts = [p.strip() for p in m.group(1).split(",")]

@@ -35,6 +35,13 @@ class TestParseSpace:
         sp = parse_space("choice(false, true)")
         assert sp.choices == (False, True)
 
+    def test_optuna_choice_nested_lists(self):
+        # reference: cnn_optuna.yaml "choice([64, 128, 64], [64, 128, 256], ...)"
+        sp = parse_space("choice([64, 128, 64], [64, 128, 256], [128, 256, 512])")
+        assert sp.choices == ([64, 128, 64], [64, 128, 256], [128, 256, 512])
+        rng = np.random.default_rng(0)
+        assert sp.sample_random(rng) in sp.choices
+
     def test_optuna_range_step(self):
         # reference: mambasp_optuna.yaml "range(0.1, 0.8, step=0.1)"
         sp = parse_space("range(0.1, 0.8, step=0.1)")
