@@ -105,20 +105,39 @@ def short_depthwise_conv(u: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray 
     Equivalent to the torch pattern ``Conv1d(C, C, W, padding=W-1, groups=C)``
     followed by ``[..., :L]`` (the HyenaDNA short filter).
 
+    For small tap counts (the HyenaDNA short filter is W=3) the conv is
+    evaluated as W shifted multiply-adds — pure VPU elementwise work that XLA
+    fuses into neighbors, instead of a grouped ``conv_general_dilated``
+    (which lowers poorly for depthwise shapes on TPU).
+
     Args:
         u: (B, C, L).
         weight: (C, 1, W) torch-layout depthwise kernel.
         bias: (C,) or None.
     """
     w = weight.shape[-1]
-    out = lax.conv_general_dilated(
-        u,
-        weight.astype(u.dtype),
-        window_strides=(1,),
-        padding=[(w - 1, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=u.shape[1],
-    )
+    if w <= 8:
+        wt = weight[:, 0, :].astype(u.dtype)  # (C, W)
+        L = u.shape[-1]
+        # y[t] = sum_s wt[s] * u[t - (W-1) + s]  (causal, left pad W-1)
+        out = wt[:, w - 1][None, :, None] * u
+        shifted = u
+        for s in range(w - 2, -1, -1):
+            # shift right by one more step each iteration
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(shifted[..., :1]), shifted[..., :-1]], axis=-1
+            )
+            out = out + wt[:, s][None, :, None] * shifted
+        del L
+    else:
+        out = lax.conv_general_dilated(
+            u,
+            weight.astype(u.dtype),
+            window_strides=(1,),
+            padding=[(w - 1, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=u.shape[1],
+        )
     if bias is not None:
         out = out + bias.astype(u.dtype)[None, :, None]
     return out
