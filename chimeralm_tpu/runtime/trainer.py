@@ -177,6 +177,10 @@ class Trainer:
             raw = ocp.PyTreeCheckpointer().restore(str(path.resolve()))
         else:
             raw = flax.serialization.msgpack_restore(path.read_bytes())
+        # params-only exports (scripts/train_flagship.py) omit opt_state etc.
+        for key in ("opt_state", "model_state", "step"):
+            if key not in raw:
+                raw[key] = target[key]
         restored = flax.serialization.from_state_dict(target, raw)
         new_state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),

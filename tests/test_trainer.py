@@ -136,3 +136,26 @@ def test_trainer_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert meta.get("epoch") == 0
+
+
+def test_load_params_only_checkpoint(tmp_path):
+    """Params-only exports (scripts/train_flagship.py) restore cleanly."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    model = HyenaDnaClassifier(tiny_config(embed_dropout=0.0))
+    task = ClassificationTask(model, learning_rate=1e-3)
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))
+    path = tmp_path / "params_only.ckpt.msgpack"
+    path.write_bytes(flax.serialization.msgpack_serialize(
+        flax.serialization.to_state_dict(
+            {"params": jax.tree.map(np.asarray, state.params), "step": 7}
+        )
+    ))
+    trainer = Trainer(task, TrainerConfig(), ckpt_dir=tmp_path)
+    fresh = task.init_state(jax.random.PRNGKey(5), jnp.zeros((1, 64), jnp.int32))
+    restored, _ = trainer.load_checkpoint(fresh, path)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
