@@ -57,13 +57,19 @@ PRESETS = {
         ],
         final_ctx=2048,
     ),
-    # the real thing: small_32k config at up to 8k context
+    # the real thing: small_32k config at up to 8k context; each stage
+    # doubles the read-length range (halving the pooling-dilution jump — a
+    # 4x jump stalled in the transfer plateau).  Transfer stages use LOW
+    # LRs: the first flagship run showed high-LR transfer (1.5e-4) stalls
+    # at chance for 6 epochs while the post-plateau 1.5e-5 phase climbed
+    # +0.02 F1/epoch — fine-tune the seed, don't re-train it.
     "flagship": dict(
         model=dict(d_model=256, n_layer=4, d_inner=1024, max_seq_len=32768),
         stages=[
             Stage("s1_short", 512, 200, 480, 6000, 64, 20, 6e-4),
             Stage("s2_mid", 2048, 300, 1900, 8000, 16, 20, 3e-4),
-            Stage("s3_long", 8192, 300, 7700, 8000, 8, 15, 1.5e-4),
+            Stage("s3_4k", 4096, 300, 3800, 8000, 16, 12, 5e-5),
+            Stage("s4_long", 8192, 300, 7700, 8000, 8, 15, 3e-5),
         ],
         final_ctx=8192,
     ),
@@ -136,6 +142,10 @@ def main(argv=None) -> int:
                    help="global-norm gradient clip (spikes destabilize long-context Hyena)")
     p.add_argument("--platform", default=None, help="force jax platform (cpu for pilots)")
     p.add_argument("--max-stage", type=int, default=None, help="stop after stage N (1-based)")
+    p.add_argument("--start-stage", type=int, default=1,
+                   help="skip stages before N (1-based); use with --seed-from")
+    p.add_argument("--seed-from", default=None,
+                   help="checkpoint whose params seed the first executed stage")
     p.add_argument("--stage-epochs", type=int, default=None, help="override epochs for every stage")
     args = p.parse_args(argv)
 
@@ -157,6 +167,8 @@ def main(argv=None) -> int:
     stages: list[Stage] = preset["stages"]
     if args.max_stage:
         stages = stages[: args.max_stage]
+    if args.start_stage > 1:
+        stages = stages[args.start_stage - 1:]
     if args.stage_epochs:
         stages = [dataclasses.replace(s, epochs=args.stage_epochs) for s in stages]
 
@@ -201,7 +213,7 @@ def main(argv=None) -> int:
         logger.info("pretraining done; backbone exported")
 
     # -- curriculum ----------------------------------------------------------
-    prev_best: Path | None = None
+    prev_best: Path | None = Path(args.seed_from) if args.seed_from else None
     results = {}
     last_trainer = None
     last_dm = None
@@ -221,7 +233,10 @@ def main(argv=None) -> int:
             task,
             TrainerConfig(
                 max_epochs=stage.epochs, early_stop_patience=max(8, stage.epochs // 2),
-                plateau_patience=3, seed=args.seed, learning_rate=stage.lr,
+                # generous: a premature 10x LR cut during the stage-transfer
+                # plateau locks the stall (observed on the first flagship run)
+                plateau_patience=max(6, stage.epochs // 2),
+                seed=args.seed, learning_rate=stage.lr,
                 drop_last=True,
             ),
             ckpt_dir=ckpt_dir,
