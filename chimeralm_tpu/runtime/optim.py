@@ -52,15 +52,25 @@ def make_adamw_grouped(
     weight_decay: float = 0.01,
     warmup_steps: int = 0,
     filter_lr_scale: float = 1.0,
+    head_lr_scale: float = 1.0,
     clip_norm: float | None = None,
 ) -> optax.GradientTransformation:
-    """AdamW with a separate param group for Hyena implicit-filter params.
+    """AdamW with separate param groups for filter and classifier-head params.
 
     The HyenaDNA training recipe (Safari standalone_hyena: HyenaFilter params
     carry their own ``lr`` and ``weight_decay=0`` optim-group hints) excludes
     the sin-activated filter MLP from weight decay and lets it run at a scaled
     learning rate.  Any param whose tree path contains ``filter_fn`` (the
     implicit filter MLP, its freq, and the conv bias) lands in the group.
+
+    ``head_lr_scale`` puts the classifier head (path containing ``head``:
+    attention pooling + MLP + output layer) in its own LR group.  Rationale:
+    the attention-pooling softmax weight on the chimera-junction position
+    scales ~1/L, so every context doubling during curriculum transfer needs
+    the pooling score gap re-sharpened by ~ln 2 — the head must move at a
+    much higher LR than the (already converged, easily destroyed) backbone.
+    Measured round 2: transfer stages at backbone-safe LR plateau ~0.84-0.92
+    F1 with errors concentrated on the longest reads.
     """
 
     def label(params):
@@ -71,7 +81,12 @@ def make_adamw_grouped(
                 if isinstance(v, dict):
                     out[k] = walk(v, p)
                 else:
-                    out[k] = "filter" if any("filter_fn" in part for part in p) else "default"
+                    if any("filter_fn" in part for part in p):
+                        out[k] = "filter"
+                    elif any(part == "head" for part in p):
+                        out[k] = "head"
+                    else:
+                        out[k] = "default"
             return out
         return walk(params, ())
 
@@ -81,7 +96,10 @@ def make_adamw_grouped(
     filt = optax.inject_hyperparams(optax.adamw)(
         learning_rate=learning_rate * filter_lr_scale, weight_decay=0.0
     )
-    tx = optax.multi_transform({"default": default, "filter": filt}, label)
+    head = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=learning_rate * head_lr_scale, weight_decay=weight_decay
+    )
+    tx = optax.multi_transform({"default": default, "filter": filt, "head": head}, label)
     parts = []
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))

@@ -181,13 +181,22 @@ class Trainer:
         for key in ("opt_state", "model_state", "step"):
             if key not in raw:
                 raw[key] = target[key]
+        try:
+            opt_state = flax.serialization.from_state_dict(state.opt_state, raw["opt_state"])
+        except (ValueError, KeyError, TypeError):
+            # optimizer recipe changed between save and load (e.g. new param
+            # groups): keep the fresh opt_state, restore params only
+            logger.warning(
+                "checkpoint %s opt_state does not match the current optimizer; "
+                "restoring params with a fresh optimizer state", path.name
+            )
+            opt_state = state.opt_state
+            raw["opt_state"] = target["opt_state"]
         restored = flax.serialization.from_state_dict(target, raw)
         new_state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=jax.tree.map(jnp.asarray, restored["params"]),
-            opt_state=flax.serialization.from_state_dict(
-                state.opt_state, flax.serialization.to_state_dict(restored["opt_state"])
-            ),
+            opt_state=opt_state,
             model_state=jax.tree.map(jnp.asarray, restored.get("model_state", {})),
         )
         meta_path = path.with_suffix("").with_suffix(".meta.json")

@@ -136,6 +136,9 @@ def main(argv=None) -> int:
                    help="next-base LM pretraining steps before stage 1 (0 = off)")
     p.add_argument("--pretrain-lr", type=float, default=6e-4)
     p.add_argument("--filter-lr-scale", type=float, default=1.0)
+    p.add_argument("--head-lr-scale", type=float, default=1.0,
+                   help="classifier-head LR multiplier; >1 lets attention pooling "
+                        "re-sharpen during context transfer without destroying the backbone")
     p.add_argument("--warmup-steps", type=int, default=200)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--clip-norm", type=float, default=1.0,
@@ -225,7 +228,8 @@ def main(argv=None) -> int:
             model,
             optimizer=make_adamw_grouped(
                 stage.lr, args.weight_decay, warmup_steps=args.warmup_steps,
-                filter_lr_scale=args.filter_lr_scale, clip_norm=args.clip_norm,
+                filter_lr_scale=args.filter_lr_scale, head_lr_scale=args.head_lr_scale,
+                clip_norm=args.clip_norm,
             ),
         )
         ckpt_dir = workdir / f"ckpt_{stage.name}"

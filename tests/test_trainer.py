@@ -159,3 +159,36 @@ def test_load_params_only_checkpoint(tmp_path):
     assert int(restored.step) == 7
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_checkpoint_across_optimizer_recipes(tmp_path):
+    """A full ckpt saved under one optimizer recipe seeds params into another.
+
+    The curriculum reruns seed from checkpoints written with an older
+    ``make_adamw_grouped`` group layout; a structure mismatch must fall back
+    to a fresh opt_state instead of raising.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from chimeralm_tpu.runtime.optim import make_adamw_grouped
+
+    model = HyenaDnaClassifier(tiny_config(embed_dropout=0.0))
+    old_task = ClassificationTask(
+        model, optimizer=make_adamw_grouped(1e-3, 0.01, filter_lr_scale=0.5)
+    )
+    old_trainer = Trainer(old_task, TrainerConfig(), ckpt_dir=tmp_path)
+    old_state = old_task.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))
+    old_trainer.save_checkpoint(old_state, "full", {"epoch": 3})
+
+    new_task = ClassificationTask(
+        model,
+        optimizer=make_adamw_grouped(1e-3, 0.01, head_lr_scale=10.0, warmup_steps=5,
+                                     clip_norm=1.0),
+    )
+    new_trainer = Trainer(new_task, TrainerConfig(), ckpt_dir=tmp_path)
+    fresh = new_task.init_state(jax.random.PRNGKey(5), jnp.zeros((1, 64), jnp.int32))
+    restored, meta = new_trainer.load_checkpoint(fresh, tmp_path / "full.ckpt.msgpack")
+    assert meta.get("epoch") == 3
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(old_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -159,6 +159,31 @@ def test_warmup_ramps_update_magnitude():
     assert abs(float(u2["w"][0])) < abs(float(u_last["w"][0]))
 
 
+def test_grouped_optimizer_head_lr_scale():
+    from chimeralm_tpu.runtime.optim import make_adamw_grouped, set_learning_rate
+
+    opt = make_adamw_grouped(1e-3, 0.0, filter_lr_scale=0.5, head_lr_scale=10.0)
+    params = {
+        "backbone": {"layers_0": {"mixer": {"filter_fn": {"freq": jnp.ones((4,))},
+                                            "in_proj": {"kernel": jnp.ones((4,))}}}},
+        "head": {"attention_0": {"kernel": jnp.ones((4,))}},
+    }
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    u, state = opt.update(grads, state, params)
+    backbone_u = abs(float(u["backbone"]["layers_0"]["mixer"]["in_proj"]["kernel"][0]))
+    filter_u = abs(float(u["backbone"]["layers_0"]["mixer"]["filter_fn"]["freq"][0]))
+    head_u = abs(float(u["head"]["attention_0"]["kernel"][0]))
+    assert head_u > backbone_u * 5, (head_u, backbone_u)
+    assert filter_u < backbone_u * 0.8, (filter_u, backbone_u)
+    # plateau injection preserves the per-group ratios
+    state = set_learning_rate(state, 1e-4)
+    u2, _ = opt.update(grads, state, params)
+    head_u2 = abs(float(u2["head"]["attention_0"]["kernel"][0]))
+    backbone_u2 = abs(float(u2["backbone"]["layers_0"]["mixer"]["in_proj"]["kernel"][0]))
+    assert head_u2 > backbone_u2 * 5, (head_u2, backbone_u2)
+
+
 def test_pretrain_next_base_lm_and_seed_classifier():
     """Causal LM pretraining descends, and its backbone seeds the classifier."""
     from chimeralm_tpu.models.hyena import tiny_config
