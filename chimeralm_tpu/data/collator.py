@@ -4,10 +4,17 @@ Reference: chimeralm/data/tokenizer.py:136-187 (``DataCollator.torch_call``).
 
 Output batch keys/dtypes (matching the reference tensor dtypes):
 
-* ``input_ids``   int32   (B, L)  padded with PAD=4 on the tokenizer's side
-* ``id``          int8    (B, 256) packed read names (predict datasets only)
-* ``labels``      int64   (B,)
-* ``input_quals`` float32 (B, L) padded with PAD_QUAL=0 respecting side
+* ``input_ids``      int32   (B, L)  padded with PAD=4 on the tokenizer's side
+* ``attention_mask`` int32   (B, L)  1 on real tokens (incl. CLS/SEP), 0 on pads
+* ``id``             int8    (B, 256) packed read names (predict datasets only)
+* ``labels``         int64   (B,)
+* ``input_quals``    float32 (B, L) padded with PAD_QUAL=0 respecting side
+
+``attention_mask`` drives the head's masked attention pooling — without it
+the pooling softmax runs over pad positions too, making logits depend on
+the pad amount (bucket/batch composition), which breaks the fast path's
+padding-invariance guarantee.  The reference collator emits it as well
+(chimeralm/data/tokenizer.py:152-159 pads the HF tokenizer's mask).
 
 ``pad_to_multiple_of`` is off by default for bit-parity with the reference
 (pad to longest in batch); the fast bucketed path in
@@ -58,13 +65,19 @@ class DataCollator:
         side = getattr(self.tokenizer, "padding_side", "right")
 
         input_ids = np.full((len(seqs), target), PAD_ID, dtype=np.int32)
+        attention_mask = np.zeros((len(seqs), target), dtype=np.int32)
         for i, s in enumerate(seqs):
             if side == "right":
                 input_ids[i, : len(s)] = s
+                attention_mask[i, : len(s)] = 1
             else:
                 input_ids[i, target - len(s) :] = s
+                attention_mask[i, target - len(s) :] = 1
 
-        batch: dict[str, np.ndarray] = {MODEL_SEQ_INPUT: input_ids}
+        batch: dict[str, np.ndarray] = {
+            MODEL_SEQ_INPUT: input_ids,
+            "attention_mask": attention_mask,
+        }
 
         if has_ids:
             # int8 with wraparound, bit-matching torch.tensor(..., dtype=torch.int8)

@@ -30,6 +30,10 @@ def test_parquet_datamodule_shapes():
     assert batch["input_ids"].shape == (12, 98)
     assert batch["labels"].shape == (12,)
     assert set(batch["labels"].tolist()) <= {0, 1}
+    # attention_mask marks real tokens (masked pooling in training must see
+    # the same mask semantics as the fast predict path: ids != PAD)
+    assert batch["attention_mask"].shape == (12, 98)
+    np.testing.assert_array_equal(batch["attention_mask"], (batch["input_ids"] != 4).astype(np.int32))
     # splits partition 25 rows as 20/5/... (80%/10%/10% with floor semantics)
     assert len(dm.data["train"]) == 20
     dm.setup("test")
