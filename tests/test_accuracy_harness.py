@@ -88,10 +88,13 @@ def test_flagship_checkpoint_meets_reference_f1(tmp_path):
     raw = flax.serialization.msgpack_restore((ckpt_dir / "checkpoint.msgpack").read_bytes())
     params = jax.tree.map(jnp.asarray, raw["params"])
 
-    # held-out reads: seed disjoint from every training-stage seed
+    # held-out reads: seed disjoint from every training-stage seed.  256
+    # reads keeps the F1 sampling std ~0.012 (at the checkpoint's ~3.7%
+    # error rate), putting the 0.93 bar ~3 sigma below the measured 0.9638
+    # (512-read TPU eval) — a 64-read gate flaked at +/-0.03.
     final = meta["stages"][-1]
     data = synth.generate(
-        64, tmp_path / "heldout.parquet", seed=9999,
+        256, tmp_path / "heldout.parquet", seed=9999,
         min_len=final["min_len"], max_len=final["max_len"],
     )
     ctx = final["ctx"]
