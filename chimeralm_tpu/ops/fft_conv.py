@@ -45,8 +45,10 @@ def fft_conv(
         k: (D, L) filter (float32).
         bias: (D,) per-channel passthrough gain.
         pow2: round the FFT size up to a power of two (same math, faster).
-        method: "xla" (native FFT), "matmul" (MXU two-stage DFT), or "auto"
-            (matmul on TPU — the native TPU FFT measured ~8x off pace).
+        method: "xla" (native FFT), "matmul" (MXU two-stage DFT), "pallas"
+            (fused VMEM-resident DFT-conv kernel), or "auto" (pallas on TPU
+            with einsum fallback — the fused kernel measured 136 vs 100
+            reads/s end-to-end; the native TPU FFT measured ~8x off pace).
 
     Returns:
         (..., D, L) in ``u.dtype``.
@@ -59,7 +61,7 @@ def fft_conv(
     if method == "auto":
         import jax
 
-        method = "matmul" if jax.default_backend() == "tpu" else "xla"
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if method == "pallas":
         # fused VMEM-resident kernel; falls back to the einsum path for
         # unsupported factorizations (small buckets) or non-TPU backends

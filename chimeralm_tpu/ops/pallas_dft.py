@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,10 +77,33 @@ def _constants(n: int):
     )
 
 
-def _dot(a, b):
+#: DFT stage-matmul precision, same policy knob as the einsum path
+#: (``chimeralm_tpu.ops.matmul_fft._PREC``).  Mosaic only lowers DEFAULT and
+#: HIGHEST dot precisions inside kernels, so HIGH (3-pass bf16, the default
+#: policy) is emulated manually: a@b = hi(a)@hi(b) + lo(a)@hi(b) + hi(a)@lo(b)
+#: with single-pass bf16 dots.  Measured on TPU: DEFAULT alone is ~4e-3
+#: relative error — enough to flip borderline labels (precision audit:
+#: 99% agreement); the 3-pass split restores ~f32-grade accuracy.
+_PREC = os.environ.get("CHIMERALM_FFT_PRECISION", "high").lower()
+
+
+def _dot1(a, b):
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if _PREC == "highest"
+                   else jax.lax.Precision.DEFAULT),
     )
+
+
+def _dot(a, b):
+    if _PREC != "high":
+        return _dot1(a, b)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dot1(a_hi, b_hi) + _dot1(a_lo, b_hi) + _dot1(a_hi, b_lo)
 
 
 def _fwd_dft(x3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
@@ -144,17 +168,28 @@ def _dft_conv_kernel(
     out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
 
 
-def _pick_bc(n: int, D: int) -> int:
-    # VMEM budget: temporaries are (bc, n) f32 pairs; keep peak well under 16MB
-    for bc in (16, 8, 4, 2, 1):
-        if D % bc == 0 and bc * n * 4 * 10 <= 12 * 1024 * 1024:
+def _pick_bc(n: int, D: int, interpret: bool = False) -> int | None:
+    """Channel block: Mosaic needs the block's 2nd-to-last dim to be a
+    multiple of 8; measured VMEM peak is ~12.5 live (bc, n) f32 buffers
+    (25.04M at bc=8, n=65536 against the 16M scoped limit), so the largest
+    fitting multiple of 8 wins.  None = does not fit (fall back to einsum).
+    Interpret mode / non-TPU backends (CPU tests, including the
+    patched-``pallas_call`` path) have neither constraint.
+    """
+    if interpret or jax.default_backend() != "tpu":
+        return next((bc for bc in (16, 8, 4, 2, 1) if D % bc == 0), 1)
+    for bc in (32, 24, 16, 8):
+        if D % bc == 0 and bc * n * 4 * 12.5 <= 15 * 1024 * 1024:
             return bc
-    return 1
+    return None
 
 
 def supported(n: int, D: int, L: int) -> bool:
     n1, n2 = _factor(n)
-    return n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0 and n == 2 * L
+    return (
+        n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0 and n == 2 * L
+        and _pick_bc(n, D) is not None
+    )
 
 
 def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size: int,
@@ -167,7 +202,9 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
     B, D, L = u.shape
     n = fft_size
     n1, n2, *consts = _constants(n)
-    bc = _pick_bc(n, D)
+    bc = _pick_bc(n, D, interpret=interpret)
+    if bc is None:
+        raise ValueError(f"dft_conv_pallas: no VMEM-fitting channel block for n={n}, D={D}")
 
     kernel = functools.partial(_dft_conv_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L)
     f1r, f1i, twTr, twTi, f2r, f2i = consts
