@@ -168,18 +168,93 @@ def _dft_conv_kernel(
     out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
 
 
-def _pick_bc(n: int, D: int, interpret: bool = False) -> int | None:
+def _cdft(xr, xi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
+    """(bc, n1, n2) complex -> scrambled spectrum (bc, n1, n2) complex.
+
+    Full complex two-stage DFT (8 stage matmuls); used by the batch-pair
+    kernel where two real rows ride one complex signal.
+    """
+    xtr = jnp.swapaxes(xr, 1, 2).reshape(bc * n2, n1)
+    xti = jnp.swapaxes(xi, 1, 2).reshape(bc * n2, n1)
+    br = (_dot(xtr, f1r) - _dot(xti, f1i)).reshape(bc, n2, n1)
+    bi = (_dot(xtr, f1i) + _dot(xti, f1r)).reshape(bc, n2, n1)
+    cr = br * twTr[None] - bi * twTi[None]
+    ci = br * twTi[None] + bi * twTr[None]
+    cr = jnp.swapaxes(cr, 1, 2).reshape(bc * n1, n2)
+    ci = jnp.swapaxes(ci, 1, 2).reshape(bc * n1, n2)
+    dr = (_dot(cr, f2r) - _dot(ci, f2i)).reshape(bc, n1, n2)
+    di = (_dot(cr, f2i) + _dot(ci, f2r)).reshape(bc, n1, n2)
+    return dr, di
+
+
+def _dft_conv_pair_kernel(
+    u_ref, k_ref, bias_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
+    out_ref, kspec_r, kspec_i,
+    *, n: int, n1: int, n2: int, bc: int, L: int,
+):
+    """Two batch rows as one complex signal: conv is linear and the filter is
+    shared per channel, so ``conv(u0 + i*u1, k) = conv(u0,k) + i*conv(u1,k)``
+    — no Hermitian unpacking, ~1.5-1.7x fewer stage matmuls per row than the
+    real-signal kernel."""
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twTr, twTi = twTr_ref[...], twTi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        k = k_ref[...].astype(jnp.float32)  # (bc, L)
+        k3 = jnp.pad(k, ((0, 0), (0, n - L))).reshape(bc, n1, n2)
+        kr, ki = _fwd_dft(k3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+        kspec_r[...] = kr / n
+        kspec_i[...] = ki / n
+
+    u0 = u_ref[0].astype(jnp.float32)  # (bc, L)
+    u1 = u_ref[1].astype(jnp.float32)
+    xr = jnp.pad(u0, ((0, 0), (0, n - L))).reshape(bc, n1, n2)
+    xi = jnp.pad(u1, ((0, 0), (0, n - L))).reshape(bc, n1, n2)
+    zr, zi = _cdft(xr, xi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+
+    # pointwise: Z * K applies k to both packed rows at once
+    pr = zr * kspec_r[...] - zi * kspec_i[...]
+    pi = zr * kspec_i[...] + zi * kspec_r[...]
+
+    # inverse stage A: multiply by conj(F2) over k2
+    pr2 = pr.reshape(bc * n1, n2)
+    pi2 = pi.reshape(bc * n1, n2)
+    qr = (_dot(pr2, f2r) + _dot(pi2, f2i)).reshape(bc, n1, n2)
+    qi = (_dot(pi2, f2r) - _dot(pr2, f2i)).reshape(bc, n1, n2)
+    # inverse twiddle (conj)
+    tbr = jnp.swapaxes(twTr, 0, 1)[None]
+    tbi = -jnp.swapaxes(twTi, 0, 1)[None]
+    rr = qr * tbr - qi * tbi
+    ri = qr * tbi + qi * tbr
+    # inverse stage B: full complex (both packed rows come back out)
+    rr2 = jnp.swapaxes(rr, 1, 2).reshape(bc * n2, n1)
+    ri2 = jnp.swapaxes(ri, 1, 2).reshape(bc * n2, n1)
+    yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
+    yi = (_dot(ri2, f1r) - _dot(rr2, f1i)).reshape(bc, n2, n1)
+
+    y0 = jnp.swapaxes(yr, 1, 2).reshape(bc, n)[:, :L]
+    y1 = jnp.swapaxes(yi, 1, 2).reshape(bc, n)[:, :L]
+    out_ref[0] = (y0 + u0 * bias_ref[...]).astype(out_ref.dtype)
+    out_ref[1] = (y1 + u1 * bias_ref[...]).astype(out_ref.dtype)
+
+
+def _pick_bc(n: int, D: int, interpret: bool = False, pair: bool = False) -> int | None:
     """Channel block: Mosaic needs the block's 2nd-to-last dim to be a
-    multiple of 8; measured VMEM peak is ~12.5 live (bc, n) f32 buffers
-    (25.04M at bc=8, n=65536 against the 16M scoped limit), so the largest
-    fitting multiple of 8 wins.  None = does not fit (fall back to einsum).
+    multiple of 8, and the kernel must fit the 16M scoped-VMEM limit.
+    Measured peaks: ~12.5 live (bc, n) f32 buffers for the real-signal
+    kernel (25.04M at bc=8, n=65536), ~20.5 for the batch-pair kernel
+    (20.43M at bc=32, n=8192).  Largest fitting multiple of 8 wins; None =
+    does not fit (caller falls back: pair -> real kernel -> einsum).
     Interpret mode / non-TPU backends (CPU tests, including the
     patched-``pallas_call`` path) have neither constraint.
     """
     if interpret or jax.default_backend() != "tpu":
         return next((bc for bc in (16, 8, 4, 2, 1) if D % bc == 0), 1)
+    live = 20.5 if pair else 12.5
     for bc in (32, 24, 16, 8):
-        if D % bc == 0 and bc * n * 4 * 12.5 <= 15 * 1024 * 1024:
+        if D % bc == 0 and bc * n * 4 * live <= 15 * 1024 * 1024:
             return bc
     return None
 
@@ -202,13 +277,18 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
     B, D, L = u.shape
     n = fft_size
     n1, n2, *consts = _constants(n)
-    bc = _pick_bc(n, D, interpret=interpret)
+    # even batch: two rows per complex signal, if the bigger live set fits
+    pair = B % 2 == 0 and _pick_bc(n, D, interpret=interpret, pair=True) is not None
+    bc = _pick_bc(n, D, interpret=interpret, pair=pair)
     if bc is None:
         raise ValueError(f"dft_conv_pallas: no VMEM-fitting channel block for n={n}, D={D}")
 
-    kernel = functools.partial(_dft_conv_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L)
     f1r, f1i, twTr, twTi, f2r, f2i = consts
-    grid = (D // bc, B)  # batch innermost: filter spectrum cached per c-block
+    rows = 2 if pair else 1
+    kern = _dft_conv_pair_kernel if pair else _dft_conv_kernel
+    kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L)
+    # batch innermost: filter spectrum cached per c-block
+    grid = (D // bc, B // rows)
     const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda c, b: (0, 0), memory_space=pltpu.VMEM
     )
@@ -217,14 +297,14 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
         out_shape=jax.ShapeDtypeStruct((B, D, L), u.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, L), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
             const_spec((n1, n1)), const_spec((n1, n1)),
             const_spec((n2, n1)), const_spec((n2, n1)),
             const_spec((n2, n2)), const_spec((n2, n2)),
         ],
-        out_specs=pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((bc, n1, n2), jnp.float32),
             pltpu.VMEM((bc, n1, n2), jnp.float32),
@@ -233,7 +313,7 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
         # pl.pallas_call with a partial(interpret=True) default
         **({"interpret": True} if interpret else {}),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 12 * B * D * n * (n1 + n2) // 2,
+            flops=(8 if pair else 12) * B * D * n * (n1 + n2),
             bytes_accessed=(2 * B * D * L + 2 * D * L) * 4,
             transcendentals=0,
         ),
