@@ -70,7 +70,8 @@ def fft_conv(
         from chimeralm_tpu.ops.pallas_dft import fft_conv_pallas, supported
 
         D = u.shape[-2]
-        if jax.default_backend() == "tpu" and supported(fft_size, D, L):
+        B = u.shape[0] if u.ndim == 3 else 1
+        if jax.default_backend() == "tpu" and supported(fft_size, D, L, B):
             if u.ndim == 2:
                 return fft_conv_pallas(u[None], k, bias, fft_size)[0].astype(u.dtype)
             return fft_conv_pallas(u, k, bias, fft_size).astype(u.dtype)

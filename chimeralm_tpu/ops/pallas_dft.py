@@ -86,24 +86,36 @@ def _constants(n: int):
 #: 99% agreement); the 3-pass split restores ~f32-grade accuracy.
 _PREC = os.environ.get("CHIMERALM_FFT_PRECISION", "high").lower()
 
+#: The half-complex kernel runs its dots at HIGHEST (native f32-emulating
+#: MXU passes): measured on TPU, 3-pass "high" loses ~47x accuracy through
+#: the Hermitian-reconstruction arithmetic (2.2e-3 vs exact) while HIGHEST
+#: is 3e-7 and the kernel STILL beats the einsum-high path 2x at the 16k
+#: bucket (19.4 ms vs 39.0 ms).  Override for experiments only.
+_PREC_HALF = os.environ.get("CHIMERALM_FFT_PRECISION_HALF", "highest").lower()
 
-def _dot1(a, b):
+
+def _dot1(a, b, prec=None):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGHEST if _PREC == "highest"
+        precision=(jax.lax.Precision.HIGHEST if (prec or _PREC) == "highest"
                    else jax.lax.Precision.DEFAULT),
     )
 
 
-def _dot(a, b):
-    if _PREC != "high":
-        return _dot1(a, b)
+def _dot(a, b, prec=None):
+    if (prec or _PREC) != "high":
+        return _dot1(a, b, prec)
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return _dot1(a_hi, b_hi) + _dot1(a_lo, b_hi) + _dot1(a_hi, b_lo)
+
+
+def _dot_h(a, b):
+    """Half-kernel dot: pinned to the ``_PREC_HALF`` policy."""
+    return _dot(a, b, _PREC_HALF)
 
 
 def _fwd_dft(x3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
@@ -240,88 +252,313 @@ def _dft_conv_pair_kernel(
     out_ref[1] = (y1 + u1 * bias_ref[...]).astype(out_ref.dtype)
 
 
-def _pick_bc(n: int, D: int, interpret: bool = False, pair: bool = False) -> int | None:
+@functools.lru_cache(maxsize=None)
+def _half_constants(n: int):
+    """Constants for the half-complex (rfft-style) kernel.
+
+    The length-n real DFT runs as a length-nh = n/2 complex DFT of
+    z[m] = u[2m] + i*u[2m+1], factored nh = m1*m2 by ``_half_geometry``
+    (m2 a lane multiple, m1 <= 128 — the empirical Mosaic compile bound).
+    Returns stage matrices, the half-transform twiddle in (t, k1) layout,
+    and the reconstruction twiddle W_n^k = exp(-2i pi (k1 + m1 k2)/n) as an
+    (m1, m2) grid.
+    """
+    m1, m2 = _half_geometry(n)
+    nh = n // 2
+    a1 = -2.0 * np.pi * np.outer(np.arange(m1), np.arange(m1)) / m1
+    a2 = -2.0 * np.pi * np.outer(np.arange(m2), np.arange(m2)) / m2
+    at = -2.0 * np.pi * np.outer(np.arange(m2), np.arange(m1)) / nh  # (t, k1)
+    kgrid = np.arange(m1)[:, None] + m1 * np.arange(m2)[None, :]      # (k1, k2)
+    aw = -2.0 * np.pi * kgrid / n
+    f = np.float32
+    return (
+        m1, m2,
+        np.cos(a1).astype(f), np.sin(a1).astype(f),
+        np.cos(at).astype(f), np.sin(at).astype(f),
+        np.cos(a2).astype(f), np.sin(a2).astype(f),
+        np.cos(aw).astype(f), np.sin(aw).astype(f),
+    )
+
+
+def _half_fwd(u, f1r, f1i, twr, twi, f2r, f2i, wr, wi, n, m1, m2, bc, L):
+    """(bc, L) real, zero-padded to n -> packed half spectrum.
+
+    Returns (Xr, Xi, X_nyq): X[k] for k = 0..nh-1 as (bc, m1, m2) scrambled
+    grids (k = k1 + m1*k2) plus the Nyquist term X[nh] per row (bc, 1, 1).
+    The conjugate-flip spectrum is obtained as DFT(conj(z)) — stage-1
+    products are shared, no (unsupported) lax.rev needed.
+    """
+    x = jnp.pad(u, ((0, 0), (0, n - L))).reshape(bc, m1, 2 * m2)
+    xs = jnp.swapaxes(x, 1, 2).reshape(bc, m2, 2, m1)
+    zr = xs[:, :, 0, :].reshape(bc * m2, m1)
+    zi = xs[:, :, 1, :].reshape(bc * m2, m1)
+    p1 = _dot_h(zr, f1r); p2 = _dot_h(zr, f1i)
+    p3 = _dot_h(zi, f1r); p4 = _dot_h(zi, f1i)
+    # Z = DFT(z), Zf = DFT(conj z) share the four stage-1 products
+    def stage2(br, bi):
+        cr = (br.reshape(bc, m2, m1) * twr[None] - bi.reshape(bc, m2, m1) * twi[None])
+        ci = (br.reshape(bc, m2, m1) * twi[None] + bi.reshape(bc, m2, m1) * twr[None])
+        cr = jnp.swapaxes(cr, 1, 2).reshape(bc * m1, m2)
+        ci = jnp.swapaxes(ci, 1, 2).reshape(bc * m1, m2)
+        dr = (_dot_h(cr, f2r) - _dot_h(ci, f2i)).reshape(bc, m1, m2)
+        di = (_dot_h(cr, f2i) + _dot_h(ci, f2r)).reshape(bc, m1, m2)
+        return dr, di
+    zr2, zi2 = stage2(p1 - p4, p2 + p3)       # Z
+    zfr, zfi = stage2(p1 + p4, p2 - p3)       # Zf = conj(Z[(nh-k) % nh])
+    dr = zr2 - zfr
+    di = zi2 - zfi
+    xr_s = 0.5 * (zr2 + zfr) + 0.5 * (wr[None] * di + wi[None] * dr)
+    xi_s = 0.5 * (zi2 + zfi) - 0.5 * (wr[None] * dr - wi[None] * di)
+    # Nyquist term X[nh] = Re Z[0] - Im Z[0], kept as a grid that is zero
+    # everywhere except (0,0) — Mosaic rejects scalar-slice broadcasts, so
+    # all downstream uses stay elementwise at the (0,0) slot.
+    mask00 = (jax.lax.broadcasted_iota(jnp.int32, (bc, m1, m2), 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (bc, m1, m2), 2)) == 0
+    x_nyq = jnp.where(mask00, zr2 - zi2, 0.0)
+    return xr_s, xi_s, x_nyq, mask00
+
+
+def half_filter_spectrum(k: jnp.ndarray, fft_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed half spectrum of the (D, L) filter, scaled by 1/n.
+
+    Computed OUTSIDE the kernel as plain jnp (XLA matmuls), once per
+    forward: combining the filter transform with the inverse path inside
+    one Mosaic kernel crashes the TPU compiler (a ``pl.when``-around-
+    scratch-write + inverse-stage interaction, bisected empirically), and
+    hoisting it is also structurally better — no per-grid-cell recompute,
+    no VMEM scratch, and XLA shares it across the batch dimension for free.
+    K[nh]/n rides in the (0,0) imag slot (K[0] is real, so the slot is free).
+    """
+    n = fft_size
+    m1, m2, *consts = _half_constants(n)
+    cj = [jnp.asarray(c) for c in consts]
+    D, L = k.shape
+    kr_s, ki_s, k_nyq, mask00 = _half_fwd(
+        k.astype(jnp.float32), *cj, n, m1, m2, D, L)
+    return kr_s / n, jnp.where(mask00, k_nyq / n, ki_s / n)
+
+
+def _dft_conv_half_kernel(
+    u_ref, kr_ref, ki_ref, bias_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
+    wr_ref, wi_ref, out_ref,
+    *, n: int, m1: int, m2: int, bc: int, L: int,
+):
+    """Half-complex fused conv: all DFT buffers are (bc, nh) — half the
+    real-signal kernel's footprint — which is what fits the 32k bucket
+    (n = 65536) into the 16M VMEM scope.  The filter spectrum arrives
+    precomputed/packed (``half_filter_spectrum``).  Math validated against
+    np.fft: y_even = 2*Re(S) + delta, y_odd = 2*Re(T) - 2*P0 - delta with
+    S = conjDFT(P), T = conjDFT(Winv * P), delta = P_nyq - P0."""
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twr, twi = twr_ref[...], twi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+    wr, wi = wr_ref[...], wi_ref[...]
+
+    u = u_ref[0].astype(jnp.float32)
+    xr_s, xi_s, x_nyq, mask00 = _half_fwd(
+        u, f1r, f1i, twr, twi, f2r, f2i, wr, wi, n, m1, m2, bc, L)
+
+    kr = kr_ref[...]
+    ki_packed = ki_ref[...]
+    ki = jnp.where(mask00, 0.0, ki_packed)
+
+    pr = xr_s * kr - xi_s * ki
+    pi = jnp.where(mask00, 0.0, xr_s * ki + xi_s * kr)
+    # P_nyq as a (0,0)-only grid: x_nyq is zero off-slot, kspec_i's slot
+    # holds K[nh]/n
+    p_nyq = x_nyq * ki_packed
+
+    # Rank-1 corrections folded into the (0,0) spectrum slot BEFORE the
+    # inverse transforms (conjDFT(P + a*e0)[m] = conjDFT(P)[m] + a):
+    #   y_even = 2 Re conjDFT(P) + delta      -> P'(0,0)  = (P0 + P_nyq)/2
+    #   y_odd  = 2 Re conjDFT(WinvP) - 2P0 - delta -> B'(0,0) = (P0 - P_nyq)/2
+    # with delta = P_nyq - P0 and WinvP(0,0) = P0.
+    pr_s = jnp.where(mask00, 0.5 * (pr + p_nyq), pr)
+    # B = Winv * P with Winv = conj(W)
+    br = wr[None] * pr + wi[None] * pi
+    bi = wr[None] * pi - wi[None] * pr
+    br = jnp.where(mask00, 0.5 * (pr - p_nyq), br)
+
+    def inv_real(ar, ai):
+        # conjDFT (+ sign), real part only
+        ar2 = ar.reshape(bc * m1, m2)
+        ai2 = ai.reshape(bc * m1, m2)
+        qr = (_dot_h(ar2, f2r) + _dot_h(ai2, f2i)).reshape(bc, m1, m2)
+        qi = (_dot_h(ai2, f2r) - _dot_h(ar2, f2i)).reshape(bc, m1, m2)
+        tbr = jnp.swapaxes(twr, 0, 1)[None]
+        tbi = -jnp.swapaxes(twi, 0, 1)[None]
+        rr = qr * tbr - qi * tbi
+        ri = qr * tbi + qi * tbr
+        rr2 = jnp.swapaxes(rr, 1, 2).reshape(bc * m2, m1)
+        ri2 = jnp.swapaxes(ri, 1, 2).reshape(bc * m2, m1)
+        return (_dot_h(rr2, f1r) + _dot_h(ri2, f1i)).reshape(bc, m2, m1)
+
+    se = inv_real(pr_s, pi)
+    te = inv_real(br, bi)
+    y_even = 2.0 * se
+    y_odd = 2.0 * te
+
+    y = jnp.stack([y_even, y_odd], axis=2).reshape(bc, 2 * m2, m1)
+    y = jnp.swapaxes(y, 1, 2).reshape(bc, n)[:, :L]
+    out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
+
+
+#: live-VMEM model per kernel, in (bc, n) f32 buffer equivalents.  Measured:
+#: real 25.04M at bc=8/n=65536, pair 20.43M at bc=32/n=8192; half-kernel
+#: buffers are (bc, n/2) so its coefficient is naturally ~half the real one.
+_VMEM_LIVE = {"real": 12.5, "pair": 20.5, "half": 7.0}
+
+
+def _pick_bc(n: int, D: int, interpret: bool = False, kind: str = "real") -> int | None:
     """Channel block: Mosaic needs the block's 2nd-to-last dim to be a
     multiple of 8, and the kernel must fit the 16M scoped-VMEM limit.
-    Measured peaks: ~12.5 live (bc, n) f32 buffers for the real-signal
-    kernel (25.04M at bc=8, n=65536), ~20.5 for the batch-pair kernel
-    (20.43M at bc=32, n=8192).  Largest fitting multiple of 8 wins; None =
-    does not fit (caller falls back: pair -> real kernel -> einsum).
-    Interpret mode / non-TPU backends (CPU tests, including the
-    patched-``pallas_call`` path) have neither constraint.
+    Largest fitting multiple of 8 wins; None = does not fit (caller falls
+    back to the next-cheapest kernel, then the einsum path).  Interpret
+    mode / non-TPU backends (CPU tests, including the patched-
+    ``pallas_call`` path) have neither constraint.
     """
     if interpret or jax.default_backend() != "tpu":
         return next((bc for bc in (16, 8, 4, 2, 1) if D % bc == 0), 1)
-    live = 20.5 if pair else 12.5
-    for bc in (32, 24, 16, 8):
+    live = _VMEM_LIVE[kind]
+    # half kernel: bc = 8 (one f32 sublane tile) is the only block Mosaic
+    # compiles — the even/odd packing reshape (bc, m1, 2*m2) -> (bc, m2, 2,
+    # m1) crashes the compiler at bc in {16, 24, 32} (bisected on TPU).
+    for bc in ((8,) if kind == "half" else (32, 24, 16, 8)):
         if D % bc == 0 and bc * n * 4 * live <= 15 * 1024 * 1024:
             return bc
     return None
 
 
-def supported(n: int, D: int, L: int) -> bool:
+def _half_geometry(n: int) -> tuple[int, int] | None:
+    """nh = m1 * m2 with m2 = 128 lanes and m1 <= 128: Mosaic crashes on
+    both m1 = 256 and m2 = 256 (bisected at n = 65536 on TPU), so the half
+    kernel covers n <= 32768 — the 32k bucket (n = 65536) falls back to the
+    einsum path."""
+    nh = n // 2
+    if n % 2 or nh % 128:
+        return None
+    m1 = nh // 128
+    if m1 < 8 or m1 > 128 or m1 % 8:
+        return None
+    return m1, 128
+
+
+def _select_kernel(n: int, D: int, B: int, interpret: bool = False):
+    """Cheapest fitting kernel: (kind, bc) or None.
+
+    Per-row stage-matmul cost (in n-units): real 4*n1 + 8*n2,
+    pair 4*(n1 + n2), half 4*m1 + 8*m2 — pair wins small buckets, half
+    wins 16k+ (and is the only one whose buffers fit the 32k bucket).
+    """
     n1, n2 = _factor(n)
-    return (
-        n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0 and n == 2 * L
-        and _pick_bc(n, D) is not None
-    )
+    legal_full = n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0
+    cands = []
+    if legal_full:
+        bc = _pick_bc(n, D, interpret, "real")
+        if bc:
+            cands.append((4 * n1 + 8 * n2, "real", bc))
+        if B % 2 == 0:
+            bc = _pick_bc(n, D, interpret, "pair")
+            if bc:
+                cands.append((4 * (n1 + n2), "pair", bc))
+    geom = _half_geometry(n)
+    if geom:
+        bc = _pick_bc(n, D, interpret, "half")
+        if bc:
+            cands.append((4 * geom[0] + 8 * geom[1], "half", bc))
+    if not cands:
+        return None
+    _, kind, bc = min(cands)
+    return kind, bc
+
+
+def supported(n: int, D: int, L: int, B: int = 2) -> bool:
+    return n == 2 * L and _select_kernel(n, D, B) is not None
 
 
 def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size: int,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, kind: str | None = None) -> jnp.ndarray:
     """Causal linear convolution via the fused kernel.
 
     u: (B, D, L); k: (D, L) float32; bias: (D,).  Same contract as
     ``matmul_fft.fft_conv_matmul`` (zero-padded linear conv + bias*u).
+    ``kind`` forces a specific kernel ("real"/"pair"/"half") for tests.
     """
     B, D, L = u.shape
     n = fft_size
-    n1, n2, *consts = _constants(n)
-    # even batch: two rows per complex signal, if the bigger live set fits
-    pair = B % 2 == 0 and _pick_bc(n, D, interpret=interpret, pair=True) is not None
-    bc = _pick_bc(n, D, interpret=interpret, pair=pair)
-    if bc is None:
-        raise ValueError(f"dft_conv_pallas: no VMEM-fitting channel block for n={n}, D={D}")
+    if kind is None:
+        sel = _select_kernel(n, D, B, interpret=interpret)
+        if sel is None:
+            raise ValueError(f"dft_conv_pallas: no VMEM-fitting kernel for n={n}, D={D}")
+        kind, bc = sel
+    else:
+        bc = _pick_bc(n, D, interpret=interpret, kind=kind)
+        if bc is None:
+            raise ValueError(f"dft_conv_pallas: kernel {kind} does not fit n={n}, D={D}")
 
-    f1r, f1i, twTr, twTi, f2r, f2i = consts
-    rows = 2 if pair else 1
-    kern = _dft_conv_pair_kernel if pair else _dft_conv_kernel
-    kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L)
-    # batch innermost: filter spectrum cached per c-block
-    grid = (D // bc, B // rows)
     const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda c, b: (0, 0), memory_space=pltpu.VMEM
     )
+    if kind == "half":
+        m1, m2, *consts = _half_constants(n)
+        kernel = functools.partial(_dft_conv_half_kernel, n=n, m1=m1, m2=m2, bc=bc, L=L)
+        rows = 1
+        kr, ki = half_filter_spectrum(k, n)
+        filter_inputs = (kr, ki)
+        filter_specs = [
+            pl.BlockSpec((bc, m1, m2), lambda c, b: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, m1, m2), lambda c, b: (c, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        extra_specs = [
+            const_spec((m1, m1)), const_spec((m1, m1)),
+            const_spec((m2, m1)), const_spec((m2, m1)),
+            const_spec((m2, m2)), const_spec((m2, m2)),
+            const_spec((m1, m2)), const_spec((m1, m2)),
+        ]
+        scratch = []
+        flops = (4 * m1 + 8 * m2) * B * D * n
+    else:
+        n1, n2, *consts = _constants(n)
+        rows = 2 if kind == "pair" else 1
+        kern = _dft_conv_pair_kernel if kind == "pair" else _dft_conv_kernel
+        kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L)
+        filter_inputs = (k.astype(jnp.float32),)
+        filter_specs = [
+            pl.BlockSpec((bc, L), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
+        ]
+        extra_specs = [
+            const_spec((n1, n1)), const_spec((n1, n1)),
+            const_spec((n2, n1)), const_spec((n2, n1)),
+            const_spec((n2, n2)), const_spec((n2, n2)),
+        ]
+        scratch = [pltpu.VMEM((bc, n1, n2), jnp.float32) for _ in range(2)]
+        flops = (4 * (n1 + n2) if kind == "pair" else (4 * n1 + 8 * n2)) * B * D * n
+
+    # batch innermost: filter spectrum cached per c-block
+    grid = (D // bc, B // rows)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, D, L), u.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, L), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
+            *filter_specs,
             pl.BlockSpec((bc, 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
-            const_spec((n1, n1)), const_spec((n1, n1)),
-            const_spec((n2, n1)), const_spec((n2, n1)),
-            const_spec((n2, n2)), const_spec((n2, n2)),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((rows, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bc, n1, n2), jnp.float32),
-            pltpu.VMEM((bc, n1, n2), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         # only pass interpret when explicitly requested so tests can patch
         # pl.pallas_call with a partial(interpret=True) default
         **({"interpret": True} if interpret else {}),
         cost_estimate=pl.CostEstimate(
-            flops=(8 if pair else 12) * B * D * n * (n1 + n2),
+            flops=flops,
             bytes_accessed=(2 * B * D * L + 2 * D * L) * 4,
             transcendentals=0,
         ),
     )(
-        u, k.astype(jnp.float32), bias.astype(jnp.float32).reshape(D, 1),
-        jnp.asarray(f1r), jnp.asarray(f1i),
-        jnp.asarray(twTr), jnp.asarray(twTi),
-        jnp.asarray(f2r), jnp.asarray(f2i),
+        u, *filter_inputs, bias.astype(jnp.float32).reshape(D, 1),
+        *(jnp.asarray(c) for c in consts),
     )
     return out
 

@@ -68,6 +68,30 @@ def test_matches_naive_conv():
     np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("kind", ["real", "pair", "half"])
+def test_kernel_kinds_match_matmul_fft(kind):
+    """All three kernel variants compute the same convolution."""
+    u, k, bias = _data(L=4096)
+    n = 2 * u.shape[-1]
+    ref = np.asarray(fft_conv_matmul(u, k, bias, n))
+    out = np.asarray(dft_conv_pallas(u, k, bias, n, interpret=True, kind=kind))
+    np.testing.assert_allclose(out, ref, atol=2e-4 * np.abs(ref).max(), rtol=1e-4)
+
+
+def test_half_kernel_against_naive_conv():
+    """The half-complex kernel (Nyquist packing + conj-DFT flip) vs O(L^2)."""
+    from chimeralm_tpu.ops.fft_conv import reference_conv_naive
+
+    rng = np.random.default_rng(7)
+    B, D, L = 2, 2, 4096
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    ref = reference_conv_naive(np.asarray(u), np.asarray(k), np.asarray(bias))
+    out = np.asarray(dft_conv_pallas(u, k, bias, 2 * L, interpret=True, kind="half"))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
+
+
 def test_bfloat16_io():
     u, k, bias = _data()
     out = dft_conv_pallas(u.astype(jnp.bfloat16), k, bias, 2 * u.shape[-1], interpret=True)
