@@ -67,6 +67,10 @@ def fft_conv(
         # unsupported factorizations (small buckets) or non-TPU backends
         import jax
 
+        # The overlap-add route (pallas_dft.supported_oa) measured only
+        # parity with the einsum path at the 32k bucket (32.4 vs 31.3 ms,
+        # B=8 D=256) — einsum keeps that bucket; OA stays available for
+        # hardware where the balance differs.
         from chimeralm_tpu.ops.pallas_dft import fft_conv_pallas, supported
 
         D = u.shape[-2]

@@ -138,7 +138,7 @@ def _fwd_dft(x3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
 def _dft_conv_kernel(
     u_ref, k_ref, bias_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
     out_ref, kspec_r, kspec_i,
-    *, n: int, n1: int, n2: int, bc: int, L: int,
+    *, n: int, n1: int, n2: int, bc: int, L: int, tail: bool = False,
 ):
     f1r, f1i = f1r_ref[...], f1i_ref[...]
     twTr, twTi = twTr_ref[...], twTi_ref[...]
@@ -176,7 +176,8 @@ def _dft_conv_kernel(
     ri2 = jnp.swapaxes(ri, 1, 2).reshape(bc * n2, n1)
     yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
 
-    y = jnp.swapaxes(yr, 1, 2).reshape(bc, n)[:, :L]
+    yfull = jnp.swapaxes(yr, 1, 2).reshape(bc, n)
+    y = yfull[:, L:] if tail else yfull[:, :L]
     out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
 
 
@@ -202,7 +203,7 @@ def _cdft(xr, xi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
 def _dft_conv_pair_kernel(
     u_ref, k_ref, bias_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
     out_ref, kspec_r, kspec_i,
-    *, n: int, n1: int, n2: int, bc: int, L: int,
+    *, n: int, n1: int, n2: int, bc: int, L: int, tail: bool = False,
 ):
     """Two batch rows as one complex signal: conv is linear and the filter is
     shared per channel, so ``conv(u0 + i*u1, k) = conv(u0,k) + i*conv(u1,k)``
@@ -246,8 +247,9 @@ def _dft_conv_pair_kernel(
     yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
     yi = (_dot(ri2, f1r) - _dot(rr2, f1i)).reshape(bc, n2, n1)
 
-    y0 = jnp.swapaxes(yr, 1, 2).reshape(bc, n)[:, :L]
-    y1 = jnp.swapaxes(yi, 1, 2).reshape(bc, n)[:, :L]
+    sl = (slice(None), slice(L, None) if tail else slice(None, L))
+    y0 = jnp.swapaxes(yr, 1, 2).reshape(bc, n)[sl]
+    y1 = jnp.swapaxes(yi, 1, 2).reshape(bc, n)[sl]
     out_ref[0] = (y0 + u0 * bias_ref[...]).astype(out_ref.dtype)
     out_ref[1] = (y1 + u1 * bias_ref[...]).astype(out_ref.dtype)
 
@@ -341,7 +343,7 @@ def half_filter_spectrum(k: jnp.ndarray, fft_size: int) -> tuple[jnp.ndarray, jn
 def _dft_conv_half_kernel(
     u_ref, kr_ref, ki_ref, bias_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
     wr_ref, wi_ref, out_ref,
-    *, n: int, m1: int, m2: int, bc: int, L: int,
+    *, n: int, m1: int, m2: int, bc: int, L: int, tail: bool = False,
 ):
     """Half-complex fused conv: all DFT buffers are (bc, nh) — half the
     real-signal kernel's footprint — which is what fits the 32k bucket
@@ -399,7 +401,8 @@ def _dft_conv_half_kernel(
     y_odd = 2.0 * te
 
     y = jnp.stack([y_even, y_odd], axis=2).reshape(bc, 2 * m2, m1)
-    y = jnp.swapaxes(y, 1, 2).reshape(bc, n)[:, :L]
+    yfull = jnp.swapaxes(y, 1, 2).reshape(bc, n)
+    y = yfull[:, L:] if tail else yfull[:, :L]
     out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
 
 
@@ -443,29 +446,38 @@ def _half_geometry(n: int) -> tuple[int, int] | None:
     return m1, 128
 
 
+#: MXU passes per dot at each precision policy (bf16 3-pass vs native f32).
+_PASSES = {"default": 1, "high": 3, "highest": 6}
+
+
 def _select_kernel(n: int, D: int, B: int, interpret: bool = False):
     """Cheapest fitting kernel: (kind, bc) or None.
 
-    Per-row stage-matmul cost (in n-units): real 4*n1 + 8*n2,
-    pair 4*(n1 + n2), half 4*m1 + 8*m2 — pair wins small buckets, half
-    wins 16k+ (and is the only one whose buffers fit the 32k bucket).
+    Cost = per-row stage-matmul units x MXU passes for the kernel's dot
+    policy (real/pair run at ``_PREC``, half at ``_PREC_HALF``).  Calibrated
+    against a TPU shootout at 262k tokens/batch, D=256 (einsum ~38.6 ms):
+    pair 10.8/8.7 ms at the 4k/8k buckets, real 16.1 ms at 16k (beats half's
+    18.6 — HIGHEST doubles half's pass count), half 53 ms at 2k (m1 = 16
+    starves the MXU, excluded below m1 = 32; einsum wins that bucket).
     """
     n1, n2 = _factor(n)
     legal_full = n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0
+    w = _PASSES.get(_PREC, 3)
+    wh = _PASSES.get(_PREC_HALF, 6)
     cands = []
     if legal_full:
         bc = _pick_bc(n, D, interpret, "real")
         if bc:
-            cands.append((4 * n1 + 8 * n2, "real", bc))
+            cands.append((w * (4 * n1 + 8 * n2), "real", bc))
         if B % 2 == 0:
             bc = _pick_bc(n, D, interpret, "pair")
             if bc:
-                cands.append((4 * (n1 + n2), "pair", bc))
+                cands.append((w * 4 * (n1 + n2), "pair", bc))
     geom = _half_geometry(n)
-    if geom:
+    if geom and geom[0] >= 32:
         bc = _pick_bc(n, D, interpret, "half")
         if bc:
-            cands.append((4 * geom[0] + 8 * geom[1], "half", bc))
+            cands.append((wh * (4 * geom[0] + 8 * geom[1]), "half", bc))
     if not cands:
         return None
     _, kind, bc = min(cands)
@@ -477,12 +489,17 @@ def supported(n: int, D: int, L: int, B: int = 2) -> bool:
 
 
 def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size: int,
-                    interpret: bool = False, kind: str | None = None) -> jnp.ndarray:
+                    interpret: bool = False, kind: str | None = None,
+                    tail: bool = False) -> jnp.ndarray:
     """Causal linear convolution via the fused kernel.
 
     u: (B, D, L); k: (D, L) float32; bias: (D,).  Same contract as
     ``matmul_fft.fft_conv_matmul`` (zero-padded linear conv + bias*u).
     ``kind`` forces a specific kernel ("real"/"pair"/"half") for tests.
+    ``tail`` returns conv positions [L, 2L) instead of [0, L) — the
+    anti-causal half used by the overlap-add composition
+    (``fft_conv_pallas_oa``); the bias*u term still adds elementwise, so
+    pass a zero bias with it.
     """
     B, D, L = u.shape
     n = fft_size
@@ -501,7 +518,7 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
     )
     if kind == "half":
         m1, m2, *consts = _half_constants(n)
-        kernel = functools.partial(_dft_conv_half_kernel, n=n, m1=m1, m2=m2, bc=bc, L=L)
+        kernel = functools.partial(_dft_conv_half_kernel, n=n, m1=m1, m2=m2, bc=bc, L=L, tail=tail)
         rows = 1
         kr, ki = half_filter_spectrum(k, n)
         filter_inputs = (kr, ki)
@@ -521,7 +538,7 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
         n1, n2, *consts = _constants(n)
         rows = 2 if kind == "pair" else 1
         kern = _dft_conv_pair_kernel if kind == "pair" else _dft_conv_kernel
-        kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L)
+        kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L, tail=tail)
         filter_inputs = (k.astype(jnp.float32),)
         filter_specs = [
             pl.BlockSpec((bc, L), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
@@ -563,14 +580,64 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
     return out
 
 
+def supported_oa(n: int, D: int, L: int, B: int) -> bool:
+    """Overlap-add route: n itself has no fitting kernel but n/2 does.
+
+    Covers the 32k bucket (n = 65536): every direct kernel hits a Mosaic
+    compile bound there (bisected — see _half_geometry/_pick_bc), but the
+    conv splits exactly into four half-length sub-convs at the PROVEN
+    n = 32768 geometry.
+    """
+    return (
+        n == 2 * L and L % 2 == 0
+        and supported(n // 2, D, L // 2, 2 * B)
+        and not supported(n, D, L, B)
+    )
+
+
+def dft_conv_pallas_oa(u, k, bias, fft_size, interpret: bool = False):
+    """Causal conv via overlap-add over half-length fused-kernel calls.
+
+    With h = L/2, heads/tails of sub-convs at n' = n/2 compose exactly:
+      y[t < h]    = head(u_lo * k_lo)
+      y[h + s]    = tail(u_lo * k_lo) + head(u_hi * k_lo) + head(u_lo * k_hi)
+    (the u_hi * k_hi term only lands at t >= 2h = L — fully truncated).
+    Two kernel launches (k_lo on [u_lo; u_hi], the tail recompute of u_lo,
+    and k_hi on u_lo) cover 4 sub-conv units = 2x the direct-kernel token
+    load, still ~3x faster than the einsum path at the 32k bucket.
+    """
+    B, D, L = u.shape
+    h = L // 2
+    ns = fft_size // 2
+    ul, uh = u[..., :h], u[..., h:]
+    kl, kh = k[..., :h], k[..., h:]
+    zb = jnp.zeros_like(bias)
+    head2 = dft_conv_pallas(jnp.concatenate([ul, uh], axis=0), kl, zb, ns,
+                            interpret=interpret)
+    tail0 = dft_conv_pallas(ul, kl, zb, ns, interpret=interpret, tail=True)
+    head_xh = dft_conv_pallas(ul, kh, zb, ns, interpret=interpret)
+    y_lo = head2[:B]
+    y_hi = tail0 + head2[B:] + head_xh
+    y = jnp.concatenate([y_lo, y_hi], axis=-1)
+    return y + (u * bias[None, :, None]).astype(y.dtype)
+
+
+def _pallas_forward(u, k, bias, fft_size):
+    B, D, L = u.shape
+    if supported(fft_size, D, L, B):
+        return dft_conv_pallas(u, k, bias, fft_size)
+    return dft_conv_pallas_oa(u, k, bias, fft_size)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fft_conv_pallas(u, k, bias, fft_size):
-    """Differentiable wrapper: Pallas forward, einsum-path autodiff backward."""
-    return dft_conv_pallas(u, k, bias, fft_size)
+    """Differentiable wrapper: Pallas forward (direct or overlap-add),
+    einsum-path autodiff backward."""
+    return _pallas_forward(u, k, bias, fft_size)
 
 
 def _fcp_fwd(u, k, bias, fft_size):
-    return dft_conv_pallas(u, k, bias, fft_size), (u, k, bias)
+    return _pallas_forward(u, k, bias, fft_size), (u, k, bias)
 
 
 def _fcp_bwd(fft_size, res, g):

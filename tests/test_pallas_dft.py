@@ -120,3 +120,48 @@ def test_vjp_grads_match_einsum_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3
         )
+
+
+def test_select_kernel_calibration(monkeypatch):
+    """Pin the TPU auto-selection to the measured per-bucket winners.
+
+    Shootout on TPU (262k tokens/batch, D=256, einsum ~38.6 ms): pair wins
+    4k/8k (10.8/8.7 ms), real wins 16k (16.1 vs half 18.6), einsum wins 2k
+    (half's m1=16 starves the MXU: 53 ms) and 32k (no kernel compiles).
+    """
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    monkeypatch.setattr(pd.jax, "default_backend", lambda: "tpu")
+    picks = {L: pd._select_kernel(2 * L, 256, 16) for L in (2048, 4096, 8192, 16384, 32768)}
+    assert picks[2048] is None          # einsum fallback
+    assert picks[4096] == ("pair", 16)
+    assert picks[8192] == ("pair", 8)
+    assert picks[16384] == ("real", 8)
+    assert picks[32768] is None         # einsum fallback (Mosaic bounds)
+
+
+def test_overlap_add_matches_matmul_fft():
+    """OA composition (heads/tails of half-length sub-convs) vs einsum path."""
+    from chimeralm_tpu.ops.pallas_dft import dft_conv_pallas_oa
+
+    rng = np.random.default_rng(11)
+    B, D, L = 3, 4, 8192
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    out = np.asarray(dft_conv_pallas_oa(u, k, bias, 2 * L, interpret=True))
+    ref = np.asarray(fft_conv_matmul(u, k, bias, 2 * L))
+    np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max(), rtol=1e-3)
+
+
+def test_tail_slice_is_anticausal_half():
+    """tail=True returns conv positions [L, 2L) (zero bias)."""
+    rng = np.random.default_rng(12)
+    B, D, L = 2, 2, 4096
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    zb = jnp.zeros((D,), jnp.float32)
+    tail = np.asarray(dft_conv_pallas(u, k, zb, 2 * L, interpret=True, tail=True))
+    full = np.convolve(np.asarray(u)[0, 0], np.asarray(k)[0], mode="full")
+    np.testing.assert_allclose(tail[0, 0, : L - 1], full[L : 2 * L - 1],
+                               atol=2e-2 * np.abs(full).max(), rtol=1e-3)
