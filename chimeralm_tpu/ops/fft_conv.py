@@ -67,15 +67,17 @@ def fft_conv(
         # unsupported factorizations (small buckets) or non-TPU backends
         import jax
 
-        # The overlap-add route (pallas_dft.supported_oa) measured only
-        # parity with the einsum path at the 32k bucket (32.4 vs 31.3 ms,
-        # B=8 D=256) — einsum keeps that bucket; OA stays available for
-        # hardware where the balance differs.
-        from chimeralm_tpu.ops.pallas_dft import fft_conv_pallas, supported
+        # The overlap-add route (pallas_dft.supported_oa) covers the 32k
+        # bucket where every direct kernel hits a Mosaic compile bound:
+        # 3 full/head sub-convs at the proven n/2 geometry, measured 25.8 ms
+        # vs 31.4 ms einsum (B=8 D=256).
+        from chimeralm_tpu.ops.pallas_dft import fft_conv_pallas, supported, supported_oa
 
         D = u.shape[-2]
         B = u.shape[0] if u.ndim == 3 else 1
-        if jax.default_backend() == "tpu" and supported(fft_size, D, L, B):
+        if jax.default_backend() == "tpu" and (
+            supported(fft_size, D, L, B) or supported_oa(fft_size, D, L, B)
+        ):
             if u.ndim == 2:
                 return fft_conv_pallas(u[None], k, bias, fft_size)[0].astype(u.dtype)
             return fft_conv_pallas(u, k, bias, fft_size).astype(u.dtype)

@@ -138,7 +138,7 @@ def _fwd_dft(x3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
 def _dft_conv_kernel(
     u_ref, k_ref, bias_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
     out_ref, kspec_r, kspec_i,
-    *, n: int, n1: int, n2: int, bc: int, L: int, tail: bool = False,
+    *, n: int, n1: int, n2: int, bc: int, L: int, part: str = "head",
 ):
     f1r, f1i = f1r_ref[...], f1i_ref[...]
     twTr, twTi = twTr_ref[...], twTi_ref[...]
@@ -177,8 +177,11 @@ def _dft_conv_kernel(
     yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
 
     yfull = jnp.swapaxes(yr, 1, 2).reshape(bc, n)
-    y = yfull[:, L:] if tail else yfull[:, :L]
-    out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
+    if part == "full":
+        out_ref[0] = (yfull + jnp.pad(u * bias_ref[...], ((0, 0), (0, n - L)))).astype(out_ref.dtype)
+    else:
+        y = yfull[:, L:] if part == "tail" else yfull[:, :L]
+        out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
 
 
 def _cdft(xr, xi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
@@ -203,7 +206,7 @@ def _cdft(xr, xi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
 def _dft_conv_pair_kernel(
     u_ref, k_ref, bias_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
     out_ref, kspec_r, kspec_i,
-    *, n: int, n1: int, n2: int, bc: int, L: int, tail: bool = False,
+    *, n: int, n1: int, n2: int, bc: int, L: int, part: str = "head",
 ):
     """Two batch rows as one complex signal: conv is linear and the filter is
     shared per channel, so ``conv(u0 + i*u1, k) = conv(u0,k) + i*conv(u1,k)``
@@ -247,11 +250,16 @@ def _dft_conv_pair_kernel(
     yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
     yi = (_dot(ri2, f1r) - _dot(rr2, f1i)).reshape(bc, n2, n1)
 
-    sl = (slice(None), slice(L, None) if tail else slice(None, L))
-    y0 = jnp.swapaxes(yr, 1, 2).reshape(bc, n)[sl]
-    y1 = jnp.swapaxes(yi, 1, 2).reshape(bc, n)[sl]
-    out_ref[0] = (y0 + u0 * bias_ref[...]).astype(out_ref.dtype)
-    out_ref[1] = (y1 + u1 * bias_ref[...]).astype(out_ref.dtype)
+    y0full = jnp.swapaxes(yr, 1, 2).reshape(bc, n)
+    y1full = jnp.swapaxes(yi, 1, 2).reshape(bc, n)
+    if part == "full":
+        pad = lambda v: jnp.pad(v, ((0, 0), (0, n - L)))  # noqa: E731
+        out_ref[0] = (y0full + pad(u0 * bias_ref[...])).astype(out_ref.dtype)
+        out_ref[1] = (y1full + pad(u1 * bias_ref[...])).astype(out_ref.dtype)
+    else:
+        sl = (slice(None), slice(L, None) if part == "tail" else slice(None, L))
+        out_ref[0] = (y0full[sl] + u0 * bias_ref[...]).astype(out_ref.dtype)
+        out_ref[1] = (y1full[sl] + u1 * bias_ref[...]).astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -343,7 +351,7 @@ def half_filter_spectrum(k: jnp.ndarray, fft_size: int) -> tuple[jnp.ndarray, jn
 def _dft_conv_half_kernel(
     u_ref, kr_ref, ki_ref, bias_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
     wr_ref, wi_ref, out_ref,
-    *, n: int, m1: int, m2: int, bc: int, L: int, tail: bool = False,
+    *, n: int, m1: int, m2: int, bc: int, L: int, part: str = "head",
 ):
     """Half-complex fused conv: all DFT buffers are (bc, nh) — half the
     real-signal kernel's footprint — which is what fits the 32k bucket
@@ -402,8 +410,11 @@ def _dft_conv_half_kernel(
 
     y = jnp.stack([y_even, y_odd], axis=2).reshape(bc, 2 * m2, m1)
     yfull = jnp.swapaxes(y, 1, 2).reshape(bc, n)
-    y = yfull[:, L:] if tail else yfull[:, :L]
-    out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
+    if part == "full":
+        out_ref[0] = (yfull + jnp.pad(u * bias_ref[...], ((0, 0), (0, n - L)))).astype(out_ref.dtype)
+    else:
+        y = yfull[:, L:] if part == "tail" else yfull[:, :L]
+        out_ref[0] = (y + u * bias_ref[...]).astype(out_ref.dtype)
 
 
 #: live-VMEM model per kernel, in (bc, n) f32 buffer equivalents.  Measured:
@@ -490,16 +501,16 @@ def supported(n: int, D: int, L: int, B: int = 2) -> bool:
 
 def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size: int,
                     interpret: bool = False, kind: str | None = None,
-                    tail: bool = False) -> jnp.ndarray:
+                    part: str = "head") -> jnp.ndarray:
     """Causal linear convolution via the fused kernel.
 
     u: (B, D, L); k: (D, L) float32; bias: (D,).  Same contract as
     ``matmul_fft.fft_conv_matmul`` (zero-padded linear conv + bias*u).
     ``kind`` forces a specific kernel ("real"/"pair"/"half") for tests.
-    ``tail`` returns conv positions [L, 2L) instead of [0, L) — the
-    anti-causal half used by the overlap-add composition
-    (``fft_conv_pallas_oa``); the bias*u term still adds elementwise, so
-    pass a zero bias with it.
+    ``part`` selects the stored conv range: "head" = [0, L) (the causal
+    default), "tail" = [L, 2L), "full" = [0, 2L) — tail/full feed the
+    overlap-add composition (``fft_conv_pallas_oa``); the bias*u term
+    stays aligned to u's positions, so pass a zero bias with them.
     """
     B, D, L = u.shape
     n = fft_size
@@ -518,7 +529,7 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
     )
     if kind == "half":
         m1, m2, *consts = _half_constants(n)
-        kernel = functools.partial(_dft_conv_half_kernel, n=n, m1=m1, m2=m2, bc=bc, L=L, tail=tail)
+        kernel = functools.partial(_dft_conv_half_kernel, n=n, m1=m1, m2=m2, bc=bc, L=L, part=part)
         rows = 1
         kr, ki = half_filter_spectrum(k, n)
         filter_inputs = (kr, ki)
@@ -538,7 +549,7 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
         n1, n2, *consts = _constants(n)
         rows = 2 if kind == "pair" else 1
         kern = _dft_conv_pair_kernel if kind == "pair" else _dft_conv_kernel
-        kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L, tail=tail)
+        kernel = functools.partial(kern, n=n, n1=n1, n2=n2, bc=bc, L=L, part=part)
         filter_inputs = (k.astype(jnp.float32),)
         filter_specs = [
             pl.BlockSpec((bc, L), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
@@ -553,9 +564,10 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
 
     # batch innermost: filter spectrum cached per c-block
     grid = (D // bc, B // rows)
+    Lout = n if part == "full" else L
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, D, L), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D, Lout), u.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
@@ -563,7 +575,7 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
             pl.BlockSpec((bc, 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
-        out_specs=pl.BlockSpec((rows, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, bc, Lout), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         # only pass interpret when explicitly requested so tests can patch
         # pl.pallas_call with a partial(interpret=True) default
@@ -598,13 +610,14 @@ def supported_oa(n: int, D: int, L: int, B: int) -> bool:
 def dft_conv_pallas_oa(u, k, bias, fft_size, interpret: bool = False):
     """Causal conv via overlap-add over half-length fused-kernel calls.
 
-    With h = L/2, heads/tails of sub-convs at n' = n/2 compose exactly:
-      y[t < h]    = head(u_lo * k_lo)
-      y[h + s]    = tail(u_lo * k_lo) + head(u_hi * k_lo) + head(u_lo * k_hi)
+    With h = L/2, sub-convs at n' = n/2 compose exactly:
+      y[t < h]    = full(u_lo * k_lo)[t]
+      y[h + s]    = full(u_lo * k_lo)[h + s] + head(u_hi * k_lo)[s]
+                    + head(u_lo * k_hi)[s]
     (the u_hi * k_hi term only lands at t >= 2h = L — fully truncated).
-    Two kernel launches (k_lo on [u_lo; u_hi], the tail recompute of u_lo,
-    and k_hi on u_lo) cover 4 sub-conv units = 2x the direct-kernel token
-    load, still ~3x faster than the einsum path at the 32k bucket.
+    Three kernel launches over B rows each = 1.5x the direct-kernel token
+    load (the full-output first call covers both its head and tail — no
+    recompute).
     """
     B, D, L = u.shape
     h = L // 2
@@ -612,13 +625,11 @@ def dft_conv_pallas_oa(u, k, bias, fft_size, interpret: bool = False):
     ul, uh = u[..., :h], u[..., h:]
     kl, kh = k[..., :h], k[..., h:]
     zb = jnp.zeros_like(bias)
-    head2 = dft_conv_pallas(jnp.concatenate([ul, uh], axis=0), kl, zb, ns,
-                            interpret=interpret)
-    tail0 = dft_conv_pallas(ul, kl, zb, ns, interpret=interpret, tail=True)
+    full0 = dft_conv_pallas(ul, kl, zb, ns, interpret=interpret, part="full")
+    head_xl = dft_conv_pallas(uh, kl, zb, ns, interpret=interpret)
     head_xh = dft_conv_pallas(ul, kh, zb, ns, interpret=interpret)
-    y_lo = head2[:B]
-    y_hi = tail0 + head2[B:] + head_xh
-    y = jnp.concatenate([y_lo, y_hi], axis=-1)
+    y_hi = full0[..., h:] + head_xl + head_xh
+    y = jnp.concatenate([full0[..., :h], y_hi], axis=-1)
     return y + (u * bias[None, :, None]).astype(y.dtype)
 
 

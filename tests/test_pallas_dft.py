@@ -155,13 +155,27 @@ def test_overlap_add_matches_matmul_fft():
 
 
 def test_tail_slice_is_anticausal_half():
-    """tail=True returns conv positions [L, 2L) (zero bias)."""
+    """part="tail" returns conv positions [L, 2L) (zero bias)."""
     rng = np.random.default_rng(12)
     B, D, L = 2, 2, 4096
     u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
     zb = jnp.zeros((D,), jnp.float32)
-    tail = np.asarray(dft_conv_pallas(u, k, zb, 2 * L, interpret=True, tail=True))
+    tail = np.asarray(dft_conv_pallas(u, k, zb, 2 * L, interpret=True, part="tail"))
     full = np.convolve(np.asarray(u)[0, 0], np.asarray(k)[0], mode="full")
     np.testing.assert_allclose(tail[0, 0, : L - 1], full[L : 2 * L - 1],
+                               atol=2e-2 * np.abs(full).max(), rtol=1e-3)
+
+
+def test_full_output_is_complete_linear_conv():
+    """part="full" stores all 2L conv positions."""
+    rng = np.random.default_rng(13)
+    B, D, L = 2, 2, 4096
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    zb = jnp.zeros((D,), jnp.float32)
+    out = np.asarray(dft_conv_pallas(u, k, zb, 2 * L, interpret=True, part="full"))
+    assert out.shape == (B, D, 2 * L)
+    full = np.convolve(np.asarray(u)[0, 0], np.asarray(k)[0], mode="full")
+    np.testing.assert_allclose(out[0, 0, : 2 * L - 1], full,
                                atol=2e-2 * np.abs(full).max(), rtol=1e-3)
