@@ -73,6 +73,23 @@ PRESETS = {
         ],
         final_ctx=8192,
     ),
+    # context extension to the reference's full 32k: two more doubling
+    # stages seeded from the 8k flagship (--start-stage 5 --seed-from
+    # demo/flagship/checkpoint.msgpack --head-lr-scale 10); same transfer
+    # recipe (low LR, boosted head re-sharpens attention pooling against
+    # the 2x/stage dilution)
+    "flagship32k": dict(
+        model=dict(d_model=256, n_layer=4, d_inner=1024, max_seq_len=32768),
+        stages=[
+            Stage("s1_short", 512, 200, 480, 6000, 64, 20, 6e-4),
+            Stage("s2_mid", 2048, 300, 1900, 8000, 16, 20, 3e-4),
+            Stage("s3_4k", 4096, 300, 3800, 8000, 16, 12, 5e-5),
+            Stage("s4_long", 8192, 300, 7700, 8000, 8, 15, 3e-5),
+            Stage("s5_16k", 16384, 300, 15500, 8000, 4, 10, 2e-5),
+            Stage("s6_32k", 32768, 300, 31000, 6000, 2, 8, 1.5e-5),
+        ],
+        final_ctx=32768,
+    ),
 }
 
 
