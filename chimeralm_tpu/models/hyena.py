@@ -69,6 +69,9 @@ class HyenaConfig:
     dtype: Any = jnp.float32
     fft_pow2: bool = True
     fft_method: str = "auto"  # "auto" | "xla" | "matmul" (MXU two-stage DFT)
+    #: sequence-parallel mesh axis: set when the forward runs inside a
+    #: shard_map with input_ids sharded along L (parallel/seq_parallel.py)
+    sp_axis: str | None = None
 
     @property
     def padded_vocab_size(self) -> int:
@@ -171,9 +174,13 @@ class HyenaOperator(nn.Module):
         B, L, D = u.shape
         order = cfg.hyena_order
 
+        if cfg.sp_axis is not None:
+            L = L * jax.lax.psum(1, cfg.sp_axis)  # filter spans the GLOBAL length
+
         u = self.in_proj(u)  # (B, L, (order+1)*D)
         u = jnp.swapaxes(u, 1, 2)  # (B, C, L)
-        uc = short_depthwise_conv(u, self.short_filter_weight, self.short_filter_bias)
+        uc = short_depthwise_conv(u, self.short_filter_weight, self.short_filter_bias,
+                                  axis_name=cfg.sp_axis)
 
         pieces = [uc[:, i * D : (i + 1) * D] for i in range(order + 1)]
         *x, v = pieces
@@ -184,7 +191,8 @@ class HyenaOperator(nn.Module):
 
         for o, x_i in enumerate(reversed(x[1:])):
             v = v * x_i
-            v = fft_conv(v, k[o], bias[o], pow2=cfg.fft_pow2, method=cfg.fft_method)
+            v = fft_conv(v, k[o], bias[o], pow2=cfg.fft_pow2, method=cfg.fft_method,
+                         sp_axis=cfg.sp_axis)
         y = v * x[0]
         y = jnp.swapaxes(y, 1, 2)  # (B, L, D)
         return self.out_proj(y)
@@ -278,6 +286,8 @@ class BinarySequenceClassifier(nn.Module):
     num_layers: int = 2
     dropout: float = 0.1
     pooling_type: str = "attention"
+    #: sequence-parallel mesh axis (hidden_states arrive L-sharded)
+    sp_axis: str | None = None
     use_residual: bool = True
 
     def setup(self):
@@ -301,27 +311,36 @@ class BinarySequenceClassifier(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def _pool(self, h, mask):
+        sp = self.sp_axis
+        psum = (lambda x: jax.lax.psum(x, sp)) if sp else (lambda x: x)
+        pmax = (lambda x: jax.lax.pmax(x, sp)) if sp else (lambda x: x)
         if self.pooling_type == "mean":
             if mask is None:
-                return h.mean(axis=1)
+                total = psum(jnp.full((), h.shape[1], h.dtype))
+                return psum(h.sum(axis=1)) / total
             m = mask[..., None].astype(h.dtype)
-            return (h * m).sum(axis=1) / jnp.maximum(mask.sum(axis=1, keepdims=True), 1).astype(h.dtype)
+            denom = jnp.maximum(psum(mask.sum(axis=1, keepdims=True)), 1).astype(h.dtype)
+            return psum((h * m).sum(axis=1)) / denom
         if self.pooling_type == "max":
             if mask is None:
-                return h.max(axis=1)
+                return pmax(h.max(axis=1))
             m = mask[..., None].astype(h.dtype)
-            return (h * m + (1 - m) * -1e9).max(axis=1)
+            return pmax((h * m + (1 - m) * -1e9).max(axis=1))
         if self.pooling_type == "attention":
             a = self.attention_0(h)
             a = nn.gelu(a, approximate=False)
-            a = self.attention_2(a)  # (B, L, 1)
-            a = jax.nn.softmax(a, axis=1)
+            a = self.attention_2(a)  # (B, L_local, 1)
+            # softmax over the GLOBAL sequence: pmax-stabilized exp + psum
+            amax = pmax(jnp.max(a, axis=1, keepdims=True))
+            a = jnp.exp(a - jax.lax.stop_gradient(amax))
             if mask is not None:
-                m = mask[..., None].astype(h.dtype)
-                a = a * m
-                a = a / (a.sum(axis=1, keepdims=True) + 1e-9)
-            return (h * a).sum(axis=1)
+                a = a * mask[..., None].astype(h.dtype)
+            a = a / (psum(a.sum(axis=1, keepdims=True)) + 1e-9)
+            return psum((h * a).sum(axis=1))
         if self.pooling_type == "cls":
+            if sp:
+                first = (jax.lax.axis_index(sp) == 0).astype(h.dtype)
+                return psum(h[:, 0, :] * first)
             return h[:, 0, :]
         raise ValueError(f"Unsupported pooling type: {self.pooling_type}")
 
@@ -371,7 +390,8 @@ class HyenaDnaClassifier(nn.Module):
     def setup(self):
         self.backbone = HyenaBackbone(self.config, name="backbone")
         self.head = BinarySequenceClassifier(
-            input_dim=self.config.d_model, hidden_dim=512, num_layers=2, name="head"
+            input_dim=self.config.d_model, hidden_dim=512, num_layers=2,
+            sp_axis=self.config.sp_axis, name="head"
         )
 
     def __call__(

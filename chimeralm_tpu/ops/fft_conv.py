@@ -37,6 +37,7 @@ def fft_conv(
     bias: jnp.ndarray,
     pow2: bool = True,
     method: str = "auto",
+    sp_axis: str | None = None,
 ) -> jnp.ndarray:
     """Causal linear convolution ``y[t] = sum_s k[s] * u[t-s] + bias * u[t]``.
 
@@ -54,6 +55,15 @@ def fft_conv(
         (..., D, L) in ``u.dtype``.
     """
     L = u.shape[-1]
+    if sp_axis is not None:
+        # sequence-parallel path: u is this device's contiguous L-shard
+        # inside shard_map; the distributed four-step DFT handles the rest
+        import jax
+
+        from chimeralm_tpu.parallel.seq_parallel import fft_conv_sp
+
+        L_glob = L * jax.lax.psum(1, sp_axis)
+        return fft_conv_sp(u, k, bias, 2 * L_glob, axis_name=sp_axis)
     fft_size = 2 * L
     if pow2:
         fft_size = _next_pow2(fft_size)
@@ -108,7 +118,8 @@ def fft_conv(
     return out.astype(u.dtype)
 
 
-def short_depthwise_conv(u: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None) -> jnp.ndarray:
+def short_depthwise_conv(u: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None,
+                         axis_name: str | None = None) -> jnp.ndarray:
     """Causal depthwise conv over (B, C, L) with left padding ``W-1``.
 
     Equivalent to the torch pattern ``Conv1d(C, C, W, padding=W-1, groups=C)``
@@ -123,8 +134,22 @@ def short_depthwise_conv(u: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray 
         u: (B, C, L).
         weight: (C, 1, W) torch-layout depthwise kernel.
         bias: (C,) or None.
+        axis_name: sequence-parallel mesh axis — u is then the local
+            contiguous L-shard and the causal left context comes from the
+            previous shard via a (W-1)-element halo exchange (ppermute).
     """
     w = weight.shape[-1]
+    if axis_name is not None:
+        wt = weight[:, 0, :].astype(u.dtype)  # (C, W)
+        S = lax.psum(1, axis_name)
+        halo = lax.ppermute(u[..., -(w - 1):], axis_name,
+                            [(i, i + 1) for i in range(S - 1)])
+        uext = jnp.concatenate([halo, u], axis=-1)  # (B, C, w-1+Ls)
+        Ls = u.shape[-1]
+        out = sum(wt[:, s][None, :, None] * uext[..., s : s + Ls] for s in range(w))
+        if bias is not None:
+            out = out + bias.astype(u.dtype)[None, :, None]
+        return out
     if w <= 8:
         wt = weight[:, 0, :].astype(u.dtype)  # (C, W)
         L = u.shape[-1]

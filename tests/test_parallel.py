@@ -127,3 +127,79 @@ def test_two_process_distributed_predict_matches_single(tmp_path):
     # both ranks actually contributed shard files
     ranks = {f.name.split("_")[0] for f in (tmp_path / "multi").glob("*.txt")}
     assert ranks == {"0", "1"}
+
+
+@pytest.mark.parametrize("S", [4, 8])
+def test_seq_parallel_conv_matches_single_device(S):
+    """Distributed four-step DFT conv == the single-device einsum path."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
+    from chimeralm_tpu.parallel.seq_parallel import fft_conv_sp, supported_sp
+
+    B, D, L = 2, 4, 4096
+    n = 2 * L
+    assert supported_sp(n, L, S)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("sp",))
+    f = shard_map(
+        lambda u_, k_, b_: fft_conv_sp(u_, k_, b_, n),
+        mesh=mesh,
+        in_specs=(P(None, None, "sp"), P(None, None), P(None,)),
+        out_specs=P(None, None, "sp"),
+    )
+    out = np.asarray(jax.jit(f)(u, k, bias))
+    ref = np.asarray(fft_conv_matmul(u, k, bias, n))
+    np.testing.assert_allclose(out, ref, atol=2e-3 * np.abs(ref).max(), rtol=1e-3)
+
+
+def test_seq_parallel_geometry_guard():
+    from chimeralm_tpu.parallel.seq_parallel import supported_sp
+
+    assert supported_sp(8192, 4096, 4)
+    assert not supported_sp(8192, 4096, 3)    # uneven shards
+    assert not supported_sp(8192, 4000, 4)    # n != 2L
+    assert not supported_sp(1024, 512, 64)    # S > n1
+
+
+def test_seq_parallel_classifier_forward_matches_single_device():
+    """Full HyenaDnaClassifier forward under an sp mesh == unsharded logits.
+
+    Covers the halo short-conv exchange, the distributed four-step conv,
+    and the psum/pmax global attention pooling with a ragged mask.
+    """
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+
+    S, B, L = 4, 2, 512
+    cfg = tiny_config()
+    model = HyenaDnaClassifier(config=cfg)
+    rng = np.random.default_rng(9)
+    ids = jnp.asarray(rng.integers(7, 11, size=(B, L)), jnp.int32)
+    mask = jnp.asarray(
+        np.arange(L)[None, :] < np.array([L, L - 197])[:, None], jnp.int32
+    )
+    params = model.init(jax.random.PRNGKey(0), ids[:, :64])["params"]
+    ref = model.apply({"params": params}, ids, attention_mask=mask)
+
+    sp_model = HyenaDnaClassifier(config=dataclasses.replace(cfg, sp_axis="sp"))
+    mesh = Mesh(np.array(jax.devices()[:S]), ("sp",))
+    f = shard_map(
+        lambda p, i, m: sp_model.apply({"params": p}, i, attention_mask=m),
+        mesh=mesh,
+        in_specs=(P(), P(None, "sp"), P(None, "sp")),
+        out_specs=P(),
+    )
+    out = jax.jit(f)(params, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4 * max(float(jnp.abs(ref).max()), 1.0), rtol=2e-4
+    )
