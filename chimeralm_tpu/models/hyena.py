@@ -331,8 +331,10 @@ class BinarySequenceClassifier(nn.Module):
             a = nn.gelu(a, approximate=False)
             a = self.attention_2(a)  # (B, L_local, 1)
             # softmax over the GLOBAL sequence: pmax-stabilized exp + psum
-            amax = pmax(jnp.max(a, axis=1, keepdims=True))
-            a = jnp.exp(a - jax.lax.stop_gradient(amax))
+            # (stabilizer is gradient-free, so pmax — which has no JVP rule —
+            # only ever sees stopped values)
+            amax = pmax(jnp.max(jax.lax.stop_gradient(a), axis=1, keepdims=True))
+            a = jnp.exp(a - amax)
             if mask is not None:
                 a = a * mask[..., None].astype(h.dtype)
             a = a / (psum(a.sum(axis=1, keepdims=True)) + 1e-9)

@@ -203,3 +203,44 @@ def test_seq_parallel_classifier_forward_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4 * max(float(jnp.abs(ref).max()), 1.0), rtol=2e-4
     )
+
+
+def test_seq_parallel_grads_match_single_device():
+    """d(loss)/d(params) through the sp forward == single-device grads."""
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+
+    S, B, L = 4, 2, 512
+    cfg = tiny_config()
+    model = HyenaDnaClassifier(config=cfg)
+    rng = np.random.default_rng(17)
+    ids = jnp.asarray(rng.integers(7, 11, size=(B, L)), jnp.int32)
+    labels = jnp.asarray([0, 1], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:, :64])["params"]
+
+    def loss_single(p):
+        logits = model.apply({"params": p}, ids)
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), labels])
+
+    sp_model = HyenaDnaClassifier(config=dataclasses.replace(cfg, sp_axis="sp"))
+    mesh = Mesh(np.array(jax.devices()[:S]), ("sp",))
+    fwd = shard_map(
+        lambda p, i: sp_model.apply({"params": p}, i),
+        mesh=mesh, in_specs=(P(), P(None, "sp")), out_specs=P(),
+    )
+
+    def loss_sp(p):
+        logits = fwd(p, ids)
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), labels])
+
+    g_ref = jax.grad(loss_single)(params)
+    g_sp = jax.jit(jax.grad(loss_sp))(params)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_sp = jax.tree_util.tree_leaves(g_sp)
+    for a, b in zip(flat_sp, flat_ref):
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4 * scale, rtol=5e-4)
