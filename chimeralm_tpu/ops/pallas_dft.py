@@ -3,16 +3,32 @@
 The round-1 matmul-FFT (``chimeralm_tpu.ops.matmul_fft``) already moved the
 Hyena long conv onto the MXU, but as an XLA einsum chain it stages every
 (rows, n) complex intermediate through HBM — measured ~3-10x off the compute
-roofline.  This kernel runs the whole pipeline per (channel-block, batch)
+roofline.  These kernels run the whole pipeline per (channel-block, batch)
 grid cell inside VMEM:
 
     load u block -> pad -> stage-1 DFT matmul -> twiddle -> stage-2 DFT
     matmul -> pointwise filter spectrum -> inverse stage matmuls -> real
     part -> + bias * u -> store y block
 
-with zero HBM round-trips for intermediates.  The filter's spectrum is
-computed once per channel-block (at batch index 0) and cached in VMEM
-scratch across the batch grid dimension.
+with zero HBM round-trips for intermediates.
+
+Three kernel variants, auto-selected by a TPU-shootout-calibrated cost
+model (``_select_kernel``; measurements in docs/roadmap.md):
+
+* ``real`` — real signal through a full-n two-stage DFT; filter spectrum
+  computed once per channel-block (batch grid index 0) into VMEM scratch.
+* ``pair`` — two batch rows ride one complex DFT (conv is linear, filter
+  shared per channel); wins the 4k/8k buckets.
+* ``half`` — rfft-style even/odd packing runs a length-n/2 complex DFT
+  with Hermitian reconstruction; dots pinned to HIGHEST (see _PREC_HALF);
+  its filter spectrum is hoisted OUT of the kernel (``half_filter_spectrum``).
+
+The 32k bucket (n = 65536) hits Mosaic compiler crashes in every direct
+variant (bisected bounds: bc = 8 only and m1/m2 <= 128 for half; pl.when
+filter branch + inverse stages crash; >=32k-lane interface blocks, dual
+outputs, and non-swap-form stores crash).  It runs instead as a 3-call
+overlap-add over proven n/2 sub-convs (``dft_conv_pallas_oa``), using the
+kernels' ``part=head|tail|full`` output ranges.
 
 Layout trick: frequencies stay in the "scrambled" (k1, k2) coordinates of
 the Cooley-Tukey split end-to-end — the filter spectrum is pre-scrambled the
