@@ -86,7 +86,10 @@ PRESETS = {
             Stage("s3_4k", 4096, 300, 3800, 8000, 16, 12, 5e-5),
             Stage("s4_long", 8192, 300, 7700, 8000, 8, 15, 3e-5),
             Stage("s5_16k", 16384, 300, 15500, 8000, 4, 10, 2e-5),
-            Stage("s6_32k", 32768, 300, 31000, 6000, 2, 8, 1.5e-5),
+            # B=2 measured >=1 s/step through the relay (einsum VJP at
+            # n=65536 + per-call dispatch dominate at tiny batch); B=4 keeps
+            # 131k tokens/step and halves the step count
+            Stage("s6_32k", 32768, 300, 31000, 6000, 4, 4, 1.5e-5),
         ],
         final_ctx=32768,
     ),
