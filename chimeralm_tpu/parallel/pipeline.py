@@ -1,0 +1,128 @@
+"""Pipeline parallelism: GPipe-style microbatched Hyena blocks over a mesh axis.
+
+The backbone's residual blocks are homogeneous (HyenaBlock x n_layer), so
+their parameters stack into a leading layer axis that shards over a ``pp``
+mesh axis — each device owns ``n_layer / pp`` consecutive blocks.  The
+forward runs the classic GPipe schedule under ``shard_map``:
+
+    tick t: every stage applies its blocks to the microbatch it holds,
+    then hands the activation to the next stage via ``lax.ppermute``;
+    stage 0 injects microbatch t, stage P-1 banks a finished microbatch
+    from tick P-1 on.
+
+``n_micro + P - 1`` ticks drain the pipeline; the bubble fraction is the
+usual (P-1)/(n_micro + P - 1).  Embedding, final LayerNorm, and the head
+run replicated outside the pipelined region (they are microscopic next to
+the blocks).  ``ppermute`` is differentiable, so ``jax.grad`` through this
+forward yields pipeline-parallel training without extra machinery.
+
+The reference delegates all distribution to Lightning DDP (SURVEY §5) and
+has no pipeline dimension at all; this is TPU-native capability beyond it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stack_block_params(params: dict, n_layer: int) -> tuple[dict, dict]:
+    """Split backbone params into (stacked blocks, shared rest).
+
+    ``stacked`` leaves gain a leading (n_layer,) axis; ``rest`` keeps the
+    embedding / final-LN / head subtrees untouched.
+    """
+    backbone = params["backbone"]
+    blocks = [backbone[f"layers_{i}"] for i in range(n_layer)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    rest = {
+        "backbone": {k: v for k, v in backbone.items() if not k.startswith("layers_")},
+        **{k: v for k, v in params.items() if k != "backbone"},
+    }
+    return stacked, rest
+
+
+def pipeline_forward(model, params: dict, input_ids: jnp.ndarray, mesh,
+                     n_micro: int, axis_name: str = "pp",
+                     attention_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Full classifier forward with the blocks pipeline-parallel over ``mesh``.
+
+    model: a ``HyenaDnaClassifier`` (its config supplies the block shape).
+    params: the standard (unsharded) param tree from ``model.init``.
+    input_ids: (B, L) with B divisible by ``n_micro``.
+    Returns (B, 2) logits, numerically equal to ``model.apply``.
+    """
+    import flax.linen as nn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from chimeralm_tpu.models.hyena import BinarySequenceClassifier, HyenaBlock
+
+    cfg = model.config
+    n_layer = cfg.n_layer
+    pp = mesh.shape[axis_name]
+    assert n_layer % pp == 0, f"n_layer={n_layer} not divisible by pp={pp}"
+    B, L = input_ids.shape
+    assert B % n_micro == 0, f"B={B} not divisible by n_micro={n_micro}"
+    mb = B // n_micro
+    per_stage = n_layer // pp
+
+    stacked, rest = stack_block_params(params, n_layer)
+    block = HyenaBlock(cfg)
+    emb = nn.Embed(cfg.padded_vocab_size, cfg.d_model, dtype=cfg.dtype)
+
+    def stage_fn(stage_params, h):
+        for i in range(per_stage):
+            p_i = jax.tree.map(lambda x, i=i: x[i], stage_params)
+            h = block.apply({"params": p_i}, h, deterministic=True)
+        return h
+
+    def pipelined(stacked_loc, emb_p, ids):
+        s = jax.lax.axis_index(axis_name)
+        h_all = emb.apply({"params": emb_p}, ids).astype(cfg.dtype)   # (B, L, D)
+        h_mb = h_all.reshape(n_micro, mb, L, cfg.d_model)
+
+        T = n_micro + pp - 1
+        # pvary: the carries differ per stage, so mark them axis-varying
+        # up front (shard_map's vma check rejects unvarying-in/varying-out)
+        out0 = jax.lax.pvary(jnp.zeros((n_micro, mb, L, cfg.d_model), cfg.dtype), axis_name)
+        act0 = jax.lax.pvary(jnp.zeros((mb, L, cfg.d_model), cfg.dtype), axis_name)
+
+        def tick(carry, t):
+            act, out = carry
+            # stage 0 injects microbatch t (zeros once the feed is drained)
+            feed = jnp.take(h_mb, jnp.clip(t, 0, n_micro - 1), axis=0)
+            feed = jnp.where(t < n_micro, feed, jnp.zeros_like(feed))
+            act = jnp.where(s == 0, feed, act)
+            act = stage_fn(stacked_loc, act)
+            # the last stage banks microbatch t - (pp - 1)
+            done = t - (pp - 1)
+            banked = jax.lax.dynamic_update_slice(
+                out, act[None].astype(out.dtype), (jnp.clip(done, 0, n_micro - 1), 0, 0, 0)
+            )
+            out = jnp.where((s == pp - 1) & (done >= 0), banked, out)
+            # hand the activation to the next stage (the wrap back to stage
+            # 0 is immediately overwritten by the next feed)
+            act = jax.lax.ppermute(act, axis_name, [(i, (i + 1) % pp) for i in range(pp)])
+            return (act, out), None
+
+        (_, out), _ = jax.lax.scan(tick, (act0, out0), jnp.arange(T))
+        # only the last stage holds the real outputs; broadcast them
+        out = jnp.where(s == pp - 1, out, jnp.zeros_like(out))
+        return jax.lax.psum(out, axis_name)
+
+    fwd = shard_map(
+        pipelined,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P()),
+        out_specs=P(),
+    )
+    h = fwd(stacked, rest["backbone"]["word_embeddings"], input_ids)
+    h = h.reshape(B, L, cfg.d_model)
+
+    # final LN + head, replicated (tiny next to the blocks)
+    ln_f = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon)
+    h = ln_f.apply({"params": rest["backbone"]["ln_f"]}, h)
+    head = BinarySequenceClassifier(input_dim=cfg.d_model, hidden_dim=512, num_layers=2)
+    return head.apply({"params": rest["head"]}, h, attention_mask=attention_mask,
+                      deterministic=True)

@@ -244,3 +244,29 @@ def test_seq_parallel_grads_match_single_device():
     for a, b in zip(flat_sp, flat_ref):
         scale = max(float(jnp.abs(b).max()), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4 * scale, rtol=5e-4)
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 4), (4, 2)])
+def test_pipeline_parallel_forward_matches_single_device(pp, n_micro):
+    """GPipe microbatch pipeline over pp stages == unsharded logits."""
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+    from chimeralm_tpu.parallel.pipeline import pipeline_forward
+
+    cfg = tiny_config(n_layer=4)
+    model = HyenaDnaClassifier(config=cfg)
+    B, L = 8, 256
+    rng = np.random.default_rng(23)
+    ids = jnp.asarray(rng.integers(7, 11, size=(B, L)), jnp.int32)
+    mask = jnp.asarray(np.arange(L)[None, :] < rng.integers(L // 2, L, size=(B, 1)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:, :64])["params"]
+    ref = model.apply({"params": params}, ids, attention_mask=mask)
+
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+    out = pipeline_forward(model, params, ids, mesh, n_micro=n_micro,
+                           attention_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=1e-5 * max(float(jnp.abs(ref).max()), 1.0), rtol=1e-5,
+    )
