@@ -102,11 +102,14 @@ class ChimeraLM:
             if candidate.exists():
                 return candidate
         # in-framework trained flagship (scripts/train_flagship.py export):
-        # the default model when the hub name has no local mirror
+        # the default model when the hub name has no local mirror — longest
+        # trained context wins (each is gated at F1 >= 0.93 held-out)
         if str(name_or_path) == ChimeraLM.DEFAULT_NAME:
-            flagship = Path(__file__).resolve().parents[2] / "demo" / "flagship"
-            if (flagship / "flax_params.msgpack").exists():
-                return flagship
+            demo = Path(__file__).resolve().parents[2] / "demo"
+            for name in ("flagship32k", "flagship16k", "flagship"):
+                flagship = demo / name
+                if (flagship / "flax_params.msgpack").exists():
+                    return flagship
         raise FileNotFoundError(
             f"checkpoint {name_or_path!r} not found locally; this framework has no "
             "network access — set CHIMERALM_CHECKPOINT_DIR to a local mirror"
