@@ -86,6 +86,11 @@ def fft_conv_sp(u_loc: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray,
     B, D, Ls = u_loc.shape
     L = Ls * S
     n = fft_size
+    if not supported_sp(n, L, S):
+        raise ValueError(
+            f"fft_conv_sp: unsupported shard geometry n={n} L={L} shards={S} "
+            "(need n == 2L, S | n1, S | n2, n1 | L/S — see supported_sp)"
+        )
     n1, n2, f1r, f1i, f2r, f2i, twr, twi = (jnp.asarray(v) if i >= 2 else v
                                             for i, v in enumerate(_sp_constants(n)))
     n2h = n2 // 2          # data columns (the rest is causal zero padding)

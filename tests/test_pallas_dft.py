@@ -179,3 +179,35 @@ def test_full_output_is_complete_linear_conv():
     full = np.convolve(np.asarray(u)[0, 0], np.asarray(k)[0], mode="full")
     np.testing.assert_allclose(out[0, 0, : 2 * L - 1], full,
                                atol=2e-2 * np.abs(full).max(), rtol=1e-3)
+
+
+def test_vjp_grads_match_einsum_at_overlap_add_shape(monkeypatch):
+    """Grads through fft_conv_pallas at a shape routed to overlap-add."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    # OA requires "no direct kernel" — true on TPU at n=65536; emulate the
+    # routing decision at a CPU-affordable size by monkeypatching supported()
+    rng = np.random.default_rng(19)
+    B, D, L = 1, 2, 8192
+    n = 2 * L
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=u.shape), jnp.float32)
+
+    monkeypatch.setattr(pd, "supported", lambda n_, D_, L_, B_=2: n_ != n)
+
+    def loss_pallas(u, k, bias):
+        return jnp.sum(pd.fft_conv_pallas(u, k, bias, n) * cot)
+
+    def loss_ref(u, k, bias):
+        return jnp.sum(fft_conv_matmul(u, k, bias, n) * cot)
+
+    with _interpret_pallas():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(u, k, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(u, k, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-4 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3,
+        )
