@@ -12,7 +12,7 @@ from chimeralm_tpu.parallel.mesh import (  # noqa: F401
 def __getattr__(name):
     import importlib
 
-    if name in {"dist"}:
+    if name in {"dist", "seq_parallel", "pipeline"}:
         module = importlib.import_module(f"chimeralm_tpu.parallel.{name}")
         globals()[name] = module
         return module
