@@ -168,7 +168,8 @@ def main(argv=None) -> int:
     p.add_argument("--start-stage", type=int, default=1,
                    help="skip stages before N (1-based); use with --seed-from")
     p.add_argument("--seed-from", default=None,
-                   help="checkpoint whose params seed the first executed stage")
+                   help="checkpoint whose params seed the first executed stage; "
+                        "a Trainer ckpt DIRECTORY resolves to its best.json pick")
     p.add_argument("--stage-epochs", type=int, default=None, help="override epochs for every stage")
     args = p.parse_args(argv)
 
@@ -236,7 +237,16 @@ def main(argv=None) -> int:
         logger.info("pretraining done; backbone exported")
 
     # -- curriculum ----------------------------------------------------------
-    prev_best: Path | None = Path(args.seed_from) if args.seed_from else None
+    prev_best: Path | None = None
+    if args.seed_from:
+        prev_best = Path(args.seed_from)
+        if prev_best.is_dir():
+            best_file = prev_best / "best.json"
+            if best_file.exists():
+                prev_best = Path(json.loads(best_file.read_text())["path"])
+            else:
+                prev_best = prev_best / "last.ckpt.msgpack"
+            logger.info("seed-from directory resolved to %s", prev_best)
     results = {}
     last_trainer = None
     last_dm = None
