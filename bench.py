@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
 ``{"metric": "bam_inference_reads_per_s", "value": N, "unit": "reads/s/chip",
-   "vs_baseline": N / cpu_baseline}``
+   "vs_baseline": N / cpu_baseline, "flops_per_read": F, "mfu": M, ...}``
 
 Workload: the reference test BAM (100 real ONT chimeric reads, 0.5k-137k
 bases) cycled to ``--reads`` total, run through the production fast path
@@ -11,6 +11,13 @@ device.  The baseline divisor is the same engine on the CPU backend in f32
 (the reference's deployment default is CPU batch-12 predict,
 reference: chimeralm/__main__.py:253); measured once and cached in
 ``.bench_cpu_baseline.json``.
+
+Relay hardening: first device contact through the axon relay can take
+30-400 s and the relay occasionally wedges entirely (backend init raises
+``Unable to initialize backend`` or hangs).  The benchmark therefore
+(a) pre-probes ``jax.devices()`` in a subprocess with a generous timeout,
+(b) retries probe + measurement with bounded backoff, and (c) prints a
+clear diagnostic for every failed attempt instead of dying at import.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import math
 import os
 import subprocess
 import sys
@@ -28,8 +36,68 @@ REPO = Path(__file__).parent
 BAM = REPO / "tests/data/test_chimric_reads.bam"
 CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 
+# bf16 MXU peak of one TPU v5e (v5litepod) chip; override with
+# --peak-flops for other hardware generations.
+DEFAULT_PEAK_FLOPS = 197e12
 
-def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2, io_workers=2,
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# -- relay-hardened device acquisition --------------------------------------
+def probe_device(timeout_s: float) -> tuple[bool, str]:
+    """``jax.devices()`` in a subprocess so a wedged relay cannot hang us.
+
+    Returns (ok, detail).  A timeout means the relay is likely wedged (the
+    documented failure mode: backend init never returns); a nonzero exit
+    with ``Unable to initialize backend`` means init failed fast.
+    """
+    code = "import jax; print('PROBE_OK', [str(d) for d in jax.devices()])"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s (relay wedged?)"
+    if out.returncode == 0 and "PROBE_OK" in out.stdout:
+        detail = out.stdout.split("PROBE_OK", 1)[1].strip()
+        return True, detail
+    tail = (out.stderr or out.stdout).strip().splitlines()
+    return False, tail[-1] if tail else f"probe exited rc={out.returncode}"
+
+
+def acquire_device(max_wait_s: float, probe_timeout_s: float) -> bool:
+    """Bounded-backoff probe loop; True once the backend answers."""
+    waits = [0, 30, 60, 120, 300, 600, 600]
+    deadline = time.monotonic() + max_wait_s
+    for attempt, wait in enumerate(waits, 1):
+        if wait:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            wait = min(wait, max(1.0, remaining))
+            log(f"backing off {wait:.0f}s before probe attempt {attempt}")
+            time.sleep(wait)
+        t0 = time.monotonic()
+        ok, detail = probe_device(min(probe_timeout_s, max(30.0, deadline - time.monotonic())))
+        if ok:
+            log(f"device probe ok in {time.monotonic() - t0:.0f}s: {detail}")
+            return True
+        log(f"device probe attempt {attempt} failed: {detail}")
+        if time.monotonic() >= deadline:
+            break
+    return False
+
+
+def is_backend_init_error(exc: BaseException) -> bool:
+    msg = str(exc)
+    return "Unable to initialize backend" in msg or "UNAVAILABLE" in msg
+
+
+# -- engine ------------------------------------------------------------------
+def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_depth=2,
                  fft_method: str | None = None):
     import jax
     import jax.numpy as jnp
@@ -48,7 +116,6 @@ def build_engine(dtype: str, batch_size: int, tokens_per_batch=None, pipeline_de
     cfg = PredictConfig(
         batch_size=batch_size, mode="fast", dtype=dtype,
         tokens_per_batch=tokens_per_batch, pipeline_depth=pipeline_depth,
-        io_workers=io_workers,
     )
     return PredictEngine(model, params, tokenizer, cfg)
 
@@ -68,10 +135,9 @@ def warmup_reads_for_buckets(engine) -> list[dict]:
     return out
 
 
-def measure(engine, reads: list[dict], warmup: list[dict] | None = None) -> float:
+def measure(engine, reads: list[dict], warmup: list[dict] | None = None):
     engine.predict(iter(warmup if warmup is not None else warmup_reads_for_buckets(engine)), writers=[NullWriter()])
-    stats = engine.predict(iter(reads), writers=[NullWriter()])
-    return stats.reads_per_s
+    return engine.predict(iter(reads), writers=[NullWriter()])
 
 
 def load_reads(n: int) -> list[dict]:
@@ -93,7 +159,7 @@ def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
         "from bench import build_engine, load_reads, measure;"
         f"reads = load_reads({n_reads});"
         "eng = build_engine('float32', 12);"
-        "rps = measure(eng, reads, reads);"
+        "rps = measure(eng, reads, reads).reads_per_s;"
         "import json; print('CPU_RESULT ' + json.dumps({'reads_per_s': rps}))"
     ) % str(REPO)
     out = subprocess.run(
@@ -111,43 +177,110 @@ def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
     raise RuntimeError(f"cpu baseline failed: {out.stdout[-500:]} {out.stderr[-2000:]}")
 
 
+# -- roofline ----------------------------------------------------------------
+def flops_per_token(d_model: int = 256, n_layer: int = 4, d_inner: int = 1024,
+                    hyena_order: int = 2, L: int = 32768) -> float:
+    """Analytic forward model-FLOPs per token of the flagship graph.
+
+    Matmuls: in_proj D->(order+1)D, out_proj D->D, MLP D->d_inner->D per
+    layer, attention pooling D->D->1 in the head.  Long conv counted at the
+    algorithmic 2.5*n*log2(n) real-FFT cost (3 transforms of n=2L per
+    channel per layer), short conv at W=3 MACs/channel.
+    """
+    proj = 2 * d_model * (hyena_order + 1) * d_model + 2 * d_model * d_model
+    mlp = 4 * d_model * d_inner
+    n = 2 * L
+    fft = 3 * 2.5 * n * math.log2(n) * d_model / L  # per token
+    short = 2 * 3 * (hyena_order + 1) * d_model
+    head = 2 * d_model * d_model + 2 * d_model  # attention pooling per token
+    return n_layer * (proj + mlp + fft + short) + head
+
+
+def roofline_fields(stats, peak_flops: float) -> dict:
+    """MFU from the tokens the device actually processed (incl. pad rows:
+    the MXU computes them) at the mean per-token FLOPs of the run."""
+    fpt = flops_per_token(L=32768)
+    device_flops_per_s = fpt * stats.tokens_per_s
+    valid_tokens = stats.n_tokens - stats.n_padded_tokens
+    flops_per_read = fpt * valid_tokens / max(stats.n_reads, 1)
+    return {
+        "flops_per_read": round(flops_per_read, 3),
+        "tokens_per_s": round(stats.tokens_per_s, 1),
+        "mfu": round(device_flops_per_s / peak_flops, 4),
+        "peak_flops": peak_flops,
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=600)
     parser.add_argument("--tokens-per-batch", type=int, default=262144)
     parser.add_argument("--pipeline-depth", type=int, default=8)
-    parser.add_argument("--io-workers", type=int, default=4)
     parser.add_argument("--cpu-reads", type=int, default=25)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--fft-method", default=None,
                         help="auto|xla|matmul|pallas (default: CHIMERALM_FFT_METHOD or auto)")
     parser.add_argument("--refresh-cpu", action="store_true")
+    parser.add_argument("--peak-flops", type=float,
+                        default=float(os.environ.get("CHIMERALM_PEAK_FLOPS", DEFAULT_PEAK_FLOPS)),
+                        help="bf16 peak FLOP/s of one chip (default: TPU v5e)")
+    parser.add_argument("--max-wait", type=float, default=float(os.environ.get("BENCH_MAX_WAIT", 2100)),
+                        help="total seconds to spend waiting for the TPU relay before giving up")
+    parser.add_argument("--probe-timeout", type=float, default=450,
+                        help="per-attempt device probe timeout (first contact can take 400s)")
+    parser.add_argument("--no-probe", action="store_true", help="skip the subprocess device probe")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+    # CPU baseline first: it needs no device and the cache makes it free.
+    baseline = cpu_baseline(args.cpu_reads, refresh=args.refresh_cpu)
+    log(f"cpu baseline: {baseline:.4f} reads/s")
+
+    if not args.no_probe and not acquire_device(args.max_wait, args.probe_timeout):
+        log("FATAL: TPU backend unreachable after bounded retries — relay is down. "
+            "No number can be produced; re-run when `python -c 'import jax; jax.devices()'` answers.")
+        return 1
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    baseline = cpu_baseline(args.cpu_reads, refresh=args.refresh_cpu)
+    # Measurement with bounded retries on backend-init failures (the relay
+    # can answer the probe and still refuse the next client for a while).
+    stats = None
+    last_err = None
+    deadline = time.monotonic() + args.max_wait
+    for attempt in range(1, 4):
+        try:
+            engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch,
+                                  args.pipeline_depth, fft_method=args.fft_method)
+            reads = load_reads(args.reads)
+            log(f"measuring: {len(reads)} reads, attempt {attempt}")
+            stats = measure(engine, reads)
+            break
+        except Exception as exc:  # noqa: BLE001 - diagnose, retry, bounded
+            last_err = exc
+            if not is_backend_init_error(exc):
+                raise
+            log(f"measurement attempt {attempt} hit backend error: {str(exc).splitlines()[-1]}")
+            if time.monotonic() >= deadline:
+                break
+            time.sleep(min(120 * attempt, max(1.0, deadline - time.monotonic())))
+    if stats is None:
+        log(f"FATAL: measurement failed after retries: {last_err}")
+        return 1
 
-    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch, args.pipeline_depth,
-                          args.io_workers, fft_method=args.fft_method)
-    reads = load_reads(args.reads)
-    rps = measure(engine, reads)
-
-    print(
-        json.dumps(
-            {
-                "metric": "bam_inference_reads_per_s",
-                "value": round(rps, 2),
-                "unit": "reads/s/chip",
-                "vs_baseline": round(rps / baseline, 2) if baseline else None,
-            }
-        )
-    )
+    result = {
+        "metric": "bam_inference_reads_per_s",
+        "value": round(stats.reads_per_s, 2),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(stats.reads_per_s / baseline, 2) if baseline else None,
+    }
+    result.update(roofline_fields(stats, args.peak_flops))
+    print(json.dumps(result))
     return 0
 
 

@@ -129,6 +129,12 @@ def cmd_predict(args: argparse.Namespace) -> int:
         if not (args.coordinator or _os.environ.get("CHIMERALM_COORDINATOR")):
             log.error("--num-processes requires --coordinator (host:port)")
             return 2
+        if args.num_processes is not None and args.process_id is None:
+            log.error("--num-processes requires --process-id (this process's rank 0..N-1)")
+            return 2
+        if args.process_id is not None and args.num_processes is None:
+            log.error("--process-id requires --num-processes")
+            return 2
         from chimeralm_tpu.parallel.dist import initialize
 
         proc_index, proc_count = initialize(

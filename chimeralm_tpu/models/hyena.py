@@ -169,7 +169,9 @@ class HyenaOperator(nn.Module):
         )
         self.filter_fn = HyenaFilter(cfg, name="filter_fn")
 
-    def __call__(self, u: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, u: jnp.ndarray, deterministic: bool = True, k_cached: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
         cfg = self.config
         B, L, D = u.shape
         order = cfg.hyena_order
@@ -185,7 +187,11 @@ class HyenaOperator(nn.Module):
         pieces = [uc[:, i * D : (i + 1) * D] for i in range(order + 1)]
         *x, v = pieces
 
-        k = self.filter_fn.filter(L)  # (L, (order-1)*D) float32
+        # k_cached: the implicit filter is a function of (params, L) only —
+        # at inference the engine precomputes it once per length bucket and
+        # passes it in, skipping the filter MLP in every batch forward
+        # (PredictEngine.cache_filters).
+        k = k_cached if k_cached is not None else self.filter_fn.filter(L)
         k = k.reshape(L, order - 1, D).transpose(1, 2, 0)  # (order-1, D, L)
         bias = self.filter_fn.bias.reshape(order - 1, D)
 
@@ -222,8 +228,8 @@ class HyenaBlock(nn.Module):
         self.norm2 = nn.LayerNorm(epsilon=eps, name="norm2")
         self.mlp = HyenaMlp(self.config, name="mlp")
 
-    def __call__(self, x, deterministic: bool = True):
-        x = x + self.mixer(self.norm1(x), deterministic=deterministic)
+    def __call__(self, x, deterministic: bool = True, k_cached: jnp.ndarray | None = None):
+        x = x + self.mixer(self.norm1(x), deterministic=deterministic, k_cached=k_cached)
         x = x + self.mlp(self.norm2(x))
         return x
 
@@ -242,12 +248,27 @@ class HyenaBackbone(nn.Module):
         self.ln_f = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f")
         self.embed_drop = nn.Dropout(cfg.embed_dropout)
 
-    def __call__(self, input_ids: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        deterministic: bool = True,
+        filter_cache: tuple | None = None,
+    ) -> jnp.ndarray:
         h = self.word_embeddings(input_ids).astype(self.config.dtype)
         h = self.embed_drop(h, deterministic=deterministic)
-        for layer in self.layers:
-            h = layer(h, deterministic=deterministic)
+        for i, layer in enumerate(self.layers):
+            h = layer(h, deterministic=deterministic,
+                      k_cached=None if filter_cache is None else filter_cache[i])
         return self.ln_f(h)
+
+    def filters(self, L: int) -> tuple:
+        """Per-layer implicit filters over positions 0..L-1 (inference cache).
+
+        Pure function of the parameters: ``model.apply(vars, L,
+        method="filters")`` yields the ``filter_cache`` accepted by
+        ``__call__`` — evaluate once per length bucket, reuse every batch.
+        """
+        return tuple(layer.mixer.filter_fn.filter(L) for layer in self.layers)
 
 
 class ResidualBlock(nn.Module):
@@ -402,11 +423,16 @@ class HyenaDnaClassifier(nn.Module):
         input_quals: jnp.ndarray | None = None,
         attention_mask: jnp.ndarray | None = None,
         deterministic: bool = True,
+        filter_cache: tuple | None = None,
     ) -> jnp.ndarray:
         # input_quals accepted-and-unused, mirroring the reference graph
         # (QualLayer exists but is never wired: hyena.py:183-212, 244-256).
-        h = self.backbone(input_ids, deterministic=deterministic)
+        h = self.backbone(input_ids, deterministic=deterministic, filter_cache=filter_cache)
         return self.head(h, attention_mask, deterministic=deterministic)
+
+    def filters(self, L: int) -> tuple:
+        """Per-layer implicit filter cache for length-``L`` inference."""
+        return self.backbone.filters(L)
 
 
 def _resolve_dtype(overrides: dict) -> dict:

@@ -45,6 +45,24 @@ class LoadedModel:
         return sum(int(np.size(x)) for x in jax.tree.leaves(self.params))
 
 
+#: held-out F1 a demo export must clear to serve as the default predict model
+#: (the reference's production bar: val F1 0.9347, scripts/run_eval.sh:30)
+F1_GATE = 0.93
+
+
+def _meets_f1_gate(ckpt_dir: Path) -> bool:
+    """True iff the export's meta.json records a held-out test F1 >= F1_GATE."""
+    meta_file = ckpt_dir / "meta.json"
+    if not meta_file.exists():
+        return False
+    try:
+        meta = json.loads(meta_file.read_text())
+        f1 = meta["results"]["test"]["test/f1"]
+        return float(f1) >= F1_GATE
+    except (KeyError, TypeError, ValueError, json.JSONDecodeError):
+        return False
+
+
 def _config_from_json(path: Path) -> HyenaConfig:
     raw = json.loads(path.read_text())
     fields = {f.name for f in dataclasses.fields(HyenaConfig)}
@@ -103,12 +121,15 @@ class ChimeraLM:
                 return candidate
         # in-framework trained flagship (scripts/train_flagship.py export):
         # the default model when the hub name has no local mirror — longest
-        # trained context wins (each is gated at F1 >= 0.93 held-out)
+        # trained context wins.  A candidate only qualifies if its meta.json
+        # records a held-out test F1 >= 0.93 (so an ungated or partially
+        # trained local export can never silently become the production
+        # predict model).
         if str(name_or_path) == ChimeraLM.DEFAULT_NAME:
             demo = Path(__file__).resolve().parents[2] / "demo"
             for name in ("flagship32k", "flagship16k", "flagship"):
                 flagship = demo / name
-                if (flagship / "flax_params.msgpack").exists():
+                if (flagship / "flax_params.msgpack").exists() and _meets_f1_gate(flagship):
                     return flagship
         raise FileNotFoundError(
             f"checkpoint {name_or_path!r} not found locally; this framework has no "

@@ -618,7 +618,9 @@ def supported_oa(n: int, D: int, L: int, B: int) -> bool:
     """
     return (
         n == 2 * L and L % 2 == 0
-        and supported(n // 2, D, L // 2, 2 * B)
+        # probe at batch B — the batch the three sub-convs actually launch
+        # with (they split u along L, not along batch)
+        and supported(n // 2, D, L // 2, B)
         and not supported(n, D, L, B)
     )
 

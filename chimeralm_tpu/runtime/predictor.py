@@ -62,8 +62,14 @@ class PredictConfig:
     # latency on short reads); None = fixed batch_size for every bucket
     tokens_per_batch: int | None = None
     max_rows: int = 1024
-    pipeline_depth: int = 2  # batches in flight before blocking on D2H
-    io_workers: int = 2  # threads fetching/writing results (hides D2H latency)
+    # batches in flight before a grouped D2H fetch.  (A threaded D2H drain
+    # was tried and REMOVED: concurrent fetches through the axon relay fail
+    # with FAILED_PRECONDITION and regress throughput — docs/roadmap.md.)
+    pipeline_depth: int = 2
+    # precompute the Hyena implicit filter once per length bucket and pass
+    # it into the jitted forward (params are frozen at inference, so the
+    # filter MLP output is a constant per bucket) — fast mode only
+    cache_filters: bool = True
 
 
 @dataclasses.dataclass
@@ -122,16 +128,36 @@ class PredictEngine:
         else:
             self._fixed_rows = self.config.batch_size
 
+        # single-chip path: pin params on device once so every dispatch does
+        # not re-transfer ~28 MB of weights through the (slow) relay link
+        if self.mesh is None and not all(
+            isinstance(leaf, jax.Array) for leaf in jax.tree.leaves(self.params)
+        ):
+            self.params = jax.device_put(self.params)
+
+        # per-bucket implicit-filter cache: the filter is a pure function of
+        # (params, L), so at inference it is evaluated once per bucket and
+        # handed to the forward as data instead of recomputed every batch
+        self._use_filter_cache = (
+            self.config.cache_filters
+            and self.config.mode == "fast"
+            and hasattr(self.model, "filters")
+        )
+        self._filter_cache: dict[int, tuple] = {}
+
         def pad_rows(logits):
             rows = logits.shape[0]
             if rows >= self._fixed_rows:
                 return logits
             return jnp.pad(logits, ((0, self._fixed_rows - rows), (0, 0)))
 
-        def forward(params, input_ids, attention_mask):
+        use_cache = self._use_filter_cache
+
+        def forward(params, input_ids, attention_mask, filter_cache):
             variables = {"params": params}
+            kw = {"filter_cache": filter_cache} if use_cache else {}
             out = self.model.apply(
-                variables, input_ids, attention_mask=attention_mask, deterministic=True
+                variables, input_ids, attention_mask=attention_mask, deterministic=True, **kw
             ).astype(jnp.float32)
             return pad_rows(out)
 
@@ -142,6 +168,21 @@ class PredictEngine:
 
         self._forward = jax.jit(forward)
         self._forward_nomask = jax.jit(forward_nomask)
+        if self._use_filter_cache:
+            self._filter_fn = jax.jit(
+                lambda params, L: self.model.apply({"params": params}, L, method="filters"),
+                static_argnums=1,
+            )
+
+    def _bucket_filter_cache(self, L: int):
+        """Evaluate (once) and return the per-layer filter cache for bucket L."""
+        if not self._use_filter_cache:
+            return None
+        cache = self._filter_cache.get(L)
+        if cache is None:
+            cache = self._filter_fn(self.params, L)
+            self._filter_cache[L] = cache
+        return cache
 
     # -- tokenization ------------------------------------------------------
     def _max_length(self) -> int:
@@ -294,7 +335,10 @@ class PredictEngine:
                 device_in["attention_mask"] = batch["mask"]
             device_in = shard_batch(device_in, self.mesh)
             if batch["mask"] is not None:
-                logits = self._forward(self.params, device_in["input_ids"], device_in["attention_mask"])
+                fc = self._bucket_filter_cache(batch["input_ids"].shape[1])
+                logits = self._forward(
+                    self.params, device_in["input_ids"], device_in["attention_mask"], fc
+                )
             else:
                 logits = self._forward_nomask(self.params, device_in["input_ids"])
             inflight.append((logits, batch, batch_idx))

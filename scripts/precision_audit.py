@@ -103,7 +103,12 @@ def main(argv=None) -> int:
     ref = run_path(loaded, reads, "float32", "xla", max_length, args.batch_tokens)
 
     names = sorted(set(fast) & set(ref))
-    assert len(names) == len(set(r["id"].split("|")[0] for r in reads)) or names, "no overlapping reads"
+    expected = set(r["id"].split("|")[0] for r in reads)
+    missing = expected - set(names)
+    assert not missing, (
+        f"{len(missing)} reads dropped by one path (audit must cover every read): "
+        f"{sorted(missing)[:5]}"
+    )
     flips, deltas, margins = [], [], []
     for nm in names:
         lf, lr = fast[nm], ref[nm]

@@ -165,3 +165,26 @@ def test_predict_with_dp_mesh(tiny_model, tmp_path):
     a = load_predictions_from_folder(tmp_path / "single")
     b = load_predictions_from_folder(tmp_path / "mesh")
     assert a == b and len(a) == 100
+
+
+class _LogitGrab:
+    def __init__(self):
+        self.logits = []
+
+    def write_batch(self, logits, ids, idx, valid):
+        self.logits.append(np.asarray(logits)[:valid])
+
+
+def test_filter_cache_matches_uncached(tiny_model, tmp_path):
+    """Per-bucket precomputed filters reproduce the in-forward filter MLP
+    exactly (same ops on the same f32 values, hoisted out of the batch jit)."""
+    cached = _engine(tiny_model, "fast")
+    uncached = _engine(tiny_model, "fast", cache_filters=False)
+    assert cached._use_filter_cache and not uncached._use_filter_cache
+    ga, gb = _LogitGrab(), _LogitGrab()
+    cached.predict_bam(BAM, writers=[ga], output_dir=None)
+    uncached.predict_bam(BAM, writers=[gb], output_dir=None)
+    assert cached._filter_cache  # at least one bucket was populated
+    a = np.concatenate(ga.logits)
+    b = np.concatenate(gb.logits)
+    np.testing.assert_array_equal(a, b)
