@@ -176,7 +176,18 @@ def compose(
             if sd == "_self_":
                 continue
             if isinstance(sd, str):
-                sd = {sd: None}
+                # hydra semantics: a bare string in a group file's defaults
+                # names a SIBLING option of the same group (e.g.
+                # trainer/ddp.yaml "defaults: [default]" inherits
+                # trainer/default.yaml; logger/many_loggers.yaml composes
+                # its sibling sinks)
+                p2 = config_dir / group / f"{sd}.yaml"
+                if not p2.exists():
+                    raise ConfigError(f"sibling default not found: {p2}")
+                s2, glob2 = _load_yaml(p2)
+                s2.pop("defaults", None)
+                cfg = _deep_merge(cfg, s2 if glob2 else {group: s2})
+                continue
             (g2, o2), = sd.items()
             is_override = "override" in g2
             g2 = g2.replace("override", "").strip().lstrip("/")
