@@ -58,6 +58,7 @@ class HyenaConfig:
     embed_dropout: float = 0.1
     hyena_dropout: float = 0.0
     hyena_filter_dropout: float = 0.0
+    head_dropout: float = 0.1
     layer_norm_epsilon: float = 1e-5
     pad_vocab_size_multiple: int = 8
     # exponential modulation of the implicit filter
@@ -414,6 +415,7 @@ class HyenaDnaClassifier(nn.Module):
         self.backbone = HyenaBackbone(self.config, name="backbone")
         self.head = BinarySequenceClassifier(
             input_dim=self.config.d_model, hidden_dim=512, num_layers=2,
+            dropout=self.config.head_dropout,
             sp_axis=self.config.sp_axis, name="head"
         )
 

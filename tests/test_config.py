@@ -160,3 +160,28 @@ def test_cli_group_choice_beats_experiment_override():
 
     cfg = compose("train", ["experiment=cnn", "model=transformer"])
     assert cfg["model"]["model"]["_target_"].endswith("SequenceCNNTransformer")
+
+
+def test_train_entry_pipeline_parallel(tmp_path):
+    """trainer=pp end-to-end: one fast-dev epoch through the GPipe task."""
+    import train as train_entry
+
+    result = train_entry.main(
+        [
+            "debug=fdr",
+            "trainer=pp",
+            "trainer.devices=2",
+            "trainer.pp_n_micro=2",
+            "trainer.force_platform=cpu",
+            "data.train_data_path=tests/data/tests.parquet",
+            "data.tokenizer.model_max_length=128",
+            "data.batch_size=8",
+            "data.num_workers=0",
+            "model.model.config._target_=chimeralm_tpu.models.hyena.tiny_config",
+            "model.model.config.fft_method=matmul",
+            f"paths.root_dir={tmp_path}",
+            "test=false",
+            "extras.print_config=false",
+        ]
+    )
+    assert result is None or np.isfinite(result)

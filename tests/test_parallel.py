@@ -270,3 +270,83 @@ def test_pipeline_parallel_forward_matches_single_device(pp, n_micro):
         np.asarray(out), np.asarray(ref),
         atol=1e-5 * max(float(jnp.abs(ref).max()), 1.0), rtol=1e-5,
     )
+
+
+def test_pipeline_parallel_grads_match_single_device():
+    """d(loss)/d(params) through the GPipe pipeline == single-device grads."""
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+    from chimeralm_tpu.parallel.pipeline import pipeline_forward
+
+    cfg = tiny_config(fft_method="matmul")  # what the pipelined blocks run
+    model = HyenaDnaClassifier(config=cfg)
+    B, L = 4, 256
+    rng = np.random.default_rng(31)
+    ids = jnp.asarray(rng.integers(7, 11, size=(B, L)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B,)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:, :64])["params"]
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+
+    def loss_single(p):
+        logits = model.apply({"params": p}, ids)
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), labels])
+
+    def loss_pp(p):
+        logits = pipeline_forward(model, p, ids, mesh, n_micro=2)
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), labels])
+
+    g_ref = jax.grad(loss_single)(params)
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp), jax.tree_util.tree_leaves(g_ref)):
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5 * scale, rtol=5e-5)
+
+
+def test_pipeline_train_step_matches_single_device():
+    """A full PipelineTask optimizer step == the unsharded task's step.
+
+    Dropout off (it lives in the replicated embed/head whose rng streams
+    fold different module paths), so the two steps must agree exactly up to
+    collective-reduction numerics.
+    """
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+    from chimeralm_tpu.parallel.pipeline import PipelineTask
+    from chimeralm_tpu.runtime.task import ClassificationTask
+
+    import optax
+
+    cfg = tiny_config(embed_dropout=0.0, head_dropout=0.0, fft_method="matmul")
+    model = HyenaDnaClassifier(config=cfg)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    # SGD: updates stay proportional to grads (Adam's first step normalizes
+    # near-zero grads — e.g. the softmax-shift-invariant attention bias — to
+    # +-lr x sign(noise), which no equivalence tolerance survives)
+    task = ClassificationTask(model, optimizer=optax.sgd(1e-2))
+    pp_task = PipelineTask(model, mesh, n_micro=2, optimizer=optax.sgd(1e-2))
+
+    B, L = 4, 256
+    rng = np.random.default_rng(37)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(7, 11, size=(B, L)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            np.arange(L)[None, :] < rng.integers(L // 2, L, size=(B, 1)), jnp.int32
+        ),
+        "labels": jnp.asarray(rng.integers(0, 2, size=(B,)), jnp.int64),
+    }
+    state_ref = task.init_state(jax.random.PRNGKey(0), batch["input_ids"][:1, :64])
+    state_pp = pp_task.init_state(jax.random.PRNGKey(0), batch["input_ids"][:1, :64])
+
+    step_ref, _ = task.jit_steps()
+    step_pp, _ = pp_task.jit_steps()
+    state_ref, m_ref = step_ref(state_ref, batch, jax.random.PRNGKey(1))
+    state_pp, m_pp = step_pp(state_pp, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_pp.params), jax.tree_util.tree_leaves(state_ref.params)
+    ):
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale, rtol=1e-4)

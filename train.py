@@ -68,6 +68,16 @@ def train(cfg: dict) -> tuple[dict, dict]:
     mesh = _build_mesh(cfg.get("trainer", {}))
     trainer_config = instantiate(cfg["trainer"]["config"])
 
+    if mesh is not None and "pp" in mesh.axis_names:
+        # pipeline parallelism: the task owns the pp mesh (shard_map GPipe
+        # forward); the Trainer sees no mesh — batches stay replicated
+        from chimeralm_tpu.parallel.pipeline import PipelineTask
+
+        task = PipelineTask.from_task(
+            task, mesh, n_micro=int(cfg["trainer"].get("pp_n_micro", 4))
+        )
+        mesh = None
+
     ckpt_dir = None
     cb = cfg.get("callbacks") or {}
     if "model_checkpoint" in cb:
