@@ -131,18 +131,18 @@ class Trainer:
         import flax.serialization
 
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-        payload = {
-            "params": jax.tree.map(np.asarray, state.params),
-            "opt_state": jax.tree.map(
-                lambda x: np.asarray(x) if isinstance(x, (jnp.ndarray, np.ndarray)) else x,
-                state.opt_state,
-            ),
-            "model_state": jax.tree.map(np.asarray, state.model_state),
-            "step": int(state.step),
-        }
         if self.config.checkpoint_format == "orbax":
+            # sharding-aware: leaves stay jax.Arrays (possibly sharded over
+            # the mesh) — orbax writes each device's shards without a host
+            # gather, the distributed-checkpoint path of SURVEY §5
             import orbax.checkpoint as ocp
 
+            payload = {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "model_state": state.model_state,
+                "step": int(state.step),
+            }
             path = (self.ckpt_dir / f"{tag}.ckpt.orbax").resolve()
             if path.exists():
                 import shutil
@@ -152,6 +152,15 @@ class Trainer:
                 path, flax.serialization.to_state_dict(payload)
             )
         else:
+            payload = {
+                "params": jax.tree.map(np.asarray, state.params),
+                "opt_state": jax.tree.map(
+                    lambda x: np.asarray(x) if isinstance(x, (jnp.ndarray, np.ndarray)) else x,
+                    state.opt_state,
+                ),
+                "model_state": jax.tree.map(np.asarray, state.model_state),
+                "step": int(state.step),
+            }
             path = self.ckpt_dir / f"{tag}.ckpt.msgpack"
             path.write_bytes(flax.serialization.msgpack_serialize(
                 flax.serialization.to_state_dict(payload)
@@ -174,7 +183,24 @@ class Trainer:
         if path.suffix == ".orbax" or path.is_dir():
             import orbax.checkpoint as ocp
 
-            raw = ocp.PyTreeCheckpointer().restore(str(path.resolve()))
+            ckptr = ocp.PyTreeCheckpointer()
+            try:
+                # sharding-aware restore: leaves land directly on the target
+                # state's shardings (per-device shard reads, no host gather)
+                sharded_target = flax.serialization.to_state_dict({
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "model_state": state.model_state,
+                    "step": int(state.step),
+                })
+                restore_args = ocp.checkpoint_utils.construct_restore_args(sharded_target)
+                raw = ckptr.restore(
+                    str(path.resolve()), item=sharded_target, restore_args=restore_args
+                )
+            except Exception:
+                # structure mismatch (params-only export, optimizer recipe
+                # change): raw host restore + the tolerance logic below
+                raw = ckptr.restore(str(path.resolve()))
         else:
             raw = flax.serialization.msgpack_restore(path.read_bytes())
         # params-only exports (scripts/train_flagship.py) omit opt_state etc.

@@ -196,3 +196,81 @@ def test_load_checkpoint_across_optimizer_recipes(tmp_path):
     assert meta.get("epoch") == 3
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(old_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_sharded_checkpoint_preserves_shardings(tmp_path):
+    """Sharded orbax save -> restore on a dp x tp mesh: leaves keep their
+    NamedShardings (no host gather) and values round-trip exactly.
+
+    The distributed-checkpoint path of SURVEY §5 — the reference has only
+    Lightning's single-file torch checkpoints.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from chimeralm_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, axis_names=("dp", "tp"), shape=(4, 2))
+    model = HyenaDnaClassifier(tiny_config(embed_dropout=0.0))
+    task = ClassificationTask(model, learning_rate=1e-3)
+    example = jnp.zeros((1, 64), jnp.int32)
+    with mesh:
+        state = task.sharded_state(jax.random.PRNGKey(0), example, mesh)
+
+    cfg = TrainerConfig(checkpoint_format="orbax")
+    trainer = Trainer(task, cfg, mesh=mesh, ckpt_dir=tmp_path / "ck")
+    path = trainer.save_checkpoint(state, "sharded", {"epoch": 3})
+
+    # some tp-rule leaves must actually be partitioned (not all replicated)
+    def is_partitioned(x):
+        s = getattr(x, "sharding", None)
+        return isinstance(s, NamedSharding) and any(p is not None for p in (s.spec or ()))
+
+    n_part = sum(bool(is_partitioned(x)) for x in jax.tree.leaves(state.params))
+    assert n_part > 0
+
+    with mesh:
+        fresh = task.sharded_state(jax.random.PRNGKey(7), example, mesh)
+        restored, meta = trainer.load_checkpoint(fresh, path)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt_state (Adam moments) kept its shardings too
+    for a, b in zip(jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)):
+        if hasattr(b, "sharding"):
+            assert a.sharding == b.sharding
+
+
+def test_resume_reproduces_uninterrupted_metrics(tmp_path):
+    """fit(3 epochs) == fit(2 epochs) + resume-from-last(1 epoch), exactly.
+
+    Deterministic data order (epoch-seeded) + restored optimizer/scheduler/
+    stopper state make the resumed epoch bit-reproducible.
+    """
+    dm = make_dm(batch_size=8, mml=128)
+    model = HyenaDnaClassifier(tiny_config(embed_dropout=0.0, head_dropout=0.0))
+
+    def run(ckpt_dir, max_epochs, resume=None):
+        task = ClassificationTask(model, learning_rate=1e-3)
+        cfg = TrainerConfig(
+            max_epochs=max_epochs, seed=0, learning_rate=1e-3,
+            limit_train_batches=2, limit_val_batches=1,
+            checkpoint_format="orbax",
+        )
+        trainer = Trainer(task, cfg, ckpt_dir=ckpt_dir)
+        trainer.fit(dm, ckpt_path=resume)
+        return trainer
+
+    full = run(tmp_path / "full", 3)
+    part = run(tmp_path / "part", 2)
+    resumed = run(tmp_path / "part", 3, resume=tmp_path / "part" / "last.ckpt.orbax")
+
+    for key in ("train/loss", "val/loss", "val/f1", "train/f1"):
+        np.testing.assert_allclose(
+            resumed.callback_metrics[key], full.callback_metrics[key], rtol=1e-6,
+            err_msg=key,
+        )
