@@ -32,6 +32,13 @@ log = RankedLogger(__name__, rank_zero_only=True)
 @task_wrapper
 def evaluate(cfg: dict) -> tuple[dict, dict]:
     import jax
+
+    # trainer=cpu honors force_platform here like train.py's mesh builder
+    # (the image's sitecustomize force-selects the TPU platform otherwise)
+    force_platform = (cfg.get("trainer") or {}).get("force_platform")
+    if force_platform:
+        jax.config.update("jax_platforms", force_platform)
+
     import jax.numpy as jnp
 
     from chimeralm_tpu.runtime.predictor import PredictConfig, PredictEngine

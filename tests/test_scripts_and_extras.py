@@ -195,3 +195,51 @@ def test_read_len_script(capsys):
     read_len.cmd_bam(Path("tests/data/test_chimric_reads.bam"), min_mapq=0)
     out = capsys.readouterr().out
     assert "n=100" in out
+
+
+def test_shard_eval_script(tmp_path):
+    """scripts/shard_eval.sh: per-chunk eval.py runs + collect + merge.
+
+    Reference parity for the hand-sharded operational drivers
+    (scripts/runforp2.sh:52-76, getforp2.sh:26-56, collectp2.sh:5-13).
+    """
+    import subprocess
+
+    import train as train_entry
+
+    common = [
+        "data.train_data_path=tests/data/tests.parquet",
+        "data.tokenizer.model_max_length=128",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "model.model.config._target_=chimeralm_tpu.models.hyena.tiny_config",
+        f"paths.root_dir={tmp_path}",
+        "extras.print_config=false",
+    ]
+    train_entry.main(["debug=fdr", "test=false", *common])
+    ckpt = tmp_path / "logs/debug/runs/checkpoints/last.ckpt.msgpack"
+    assert ckpt.exists()
+
+    repo = Path(__file__).parent.parent
+    out_base = tmp_path / "shards"
+    chunk = repo / "tests/data/test_predict.parquet"
+    proc = subprocess.run(
+        ["bash", str(repo / "scripts/shard_eval.sh"), str(ckpt), str(out_base),
+         str(chunk), str(chunk), "--", "trainer=cpu", *common],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    merged = out_base / "predicts.txt"
+    lines = merged.read_text().splitlines()
+    assert len(lines) == 50  # 25 reads x 2 chunks
+    assert all("\t" in ln for ln in lines)
+
+    # restartability: a re-run skips finished chunks and still merges
+    proc2 = subprocess.run(
+        ["bash", str(repo / "scripts/shard_eval.sh"), str(ckpt), str(out_base),
+         str(chunk), str(chunk), "--", "trainer=cpu", *common],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc2.returncode == 0, proc2.stdout + proc2.stderr
+    assert "skipping" in proc2.stdout
+    assert len(merged.read_text().splitlines()) == 50
