@@ -1,6 +1,6 @@
 # Developer entry points (reference: Makefile with build/test/profile targets).
 
-.PHONY: all native test test-fast bench clean lint
+.PHONY: all native test test-fast test-nightly bench clean lint
 
 all: native
 
@@ -8,11 +8,21 @@ native:
 	cmake -B tools/build tools -G Ninja
 	ninja -C tools/build
 
+# three test tiers (no coverage tooling in the image, so the tiers are the
+# substitute for the reference's coverage gate):
+#   test         — default: everything except `slow` (~18 min CPU)
+#   test-fast    — CI-iteration tier: also skips the `nightly`-marked heavy
+#                  gates/equivalence tests (~10 min); fast meta-gates still
+#                  verify the committed checkpoints
+#   test-nightly — the whole suite including `slow`
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow"
 
 test-fast:
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow and not nightly"
+
+test-nightly:
+	python -m pytest tests/ -q
 
 bench:
 	python bench.py

@@ -115,6 +115,7 @@ def test_flagship_checkpoint_meets_reference_f1(tmp_path):
     assert f1 >= 0.93, f"flagship held-out F1 {f1:.4f} below the reference bar"
 
 
+@pytest.mark.nightly
 def test_flagship16k_checkpoint_meets_reference_f1(tmp_path):
     """The 16k-context extension checkpoint holds the quality bar.
 
@@ -186,6 +187,7 @@ def test_default_checkpoint_prefers_longest_context():
     assert resolved == expected
 
 
+@pytest.mark.nightly
 def test_flagship32k_checkpoint_meets_reference_f1(tmp_path):
     """The full-context (32,768-token) flagship holds the quality bar.
 
@@ -242,3 +244,20 @@ def test_flagship32k_checkpoint_meets_reference_f1(tmp_path):
     f1 = float(counts.f1())
     # 64-read sample: ~2.3 sigma below the measured 0.948
     assert f1 >= 0.88, f"flagship32k held-out F1 {f1:.4f} collapsed below sanity bar"
+
+
+@pytest.mark.parametrize("name,ctx", [
+    ("flagship", 8192), ("flagship16k", 16384), ("flagship32k", 32768),
+])
+def test_flagship_export_meta_gates(name, ctx):
+    """Fast tier: every committed flagship export records held-out test F1
+    >= 0.93 at its advertised context (the heavy held-out re-run slices are
+    nightly-marked; this keeps the checkpoint gates in `make test-fast`)."""
+    import json
+
+    d = Path(__file__).parent.parent / "demo" / name
+    if not ((d / "flax_params.msgpack").exists() or (d / "checkpoint.msgpack").exists()):
+        pytest.skip(f"{name} checkpoint not trained yet")
+    meta = json.loads((d / "meta.json").read_text())
+    assert meta["final_ctx"] == ctx
+    assert meta["results"]["test"]["test/f1"] >= 0.93

@@ -78,6 +78,7 @@ def test_kernel_kinds_match_matmul_fft(kind):
     np.testing.assert_allclose(out, ref, atol=2e-4 * np.abs(ref).max(), rtol=1e-4)
 
 
+@pytest.mark.nightly
 def test_half_kernel_against_naive_conv():
     """The half-complex kernel (Nyquist packing + conj-DFT flip) vs O(L^2)."""
     from chimeralm_tpu.ops.fft_conv import reference_conv_naive

@@ -205,6 +205,7 @@ def test_seq_parallel_classifier_forward_matches_single_device():
     )
 
 
+@pytest.mark.nightly
 def test_seq_parallel_grads_match_single_device():
     """d(loss)/d(params) through the sp forward == single-device grads."""
     import dataclasses
@@ -272,6 +273,7 @@ def test_pipeline_parallel_forward_matches_single_device(pp, n_micro):
     )
 
 
+@pytest.mark.nightly
 def test_pipeline_parallel_grads_match_single_device():
     """d(loss)/d(params) through the GPipe pipeline == single-device grads."""
     from jax.sharding import Mesh

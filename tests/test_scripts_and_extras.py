@@ -197,6 +197,7 @@ def test_read_len_script(capsys):
     assert "n=100" in out
 
 
+@pytest.mark.nightly
 def test_shard_eval_script(tmp_path):
     """scripts/shard_eval.sh: per-chunk eval.py runs + collect + merge.
 

@@ -56,6 +56,7 @@ def test_fastq_datamodule():
     assert len(dm.data["train"]) > 0
 
 
+@pytest.mark.nightly
 def test_trainer_overfit_and_checkpoint(tmp_path):
     """Overfit 2 batches of the fixture; verify checkpointing + resume."""
     dm = make_dm(batch_size=8, mml=256)
@@ -198,6 +199,7 @@ def test_load_checkpoint_across_optimizer_recipes(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.nightly
 def test_orbax_sharded_checkpoint_preserves_shardings(tmp_path):
     """Sharded orbax save -> restore on a dp x tp mesh: leaves keep their
     NamedShardings (no host gather) and values round-trip exactly.
@@ -245,6 +247,7 @@ def test_orbax_sharded_checkpoint_preserves_shardings(tmp_path):
             assert a.sharding == b.sharding
 
 
+@pytest.mark.nightly
 def test_resume_reproduces_uninterrupted_metrics(tmp_path):
     """fit(3 epochs) == fit(2 epochs) + resume-from-last(1 epoch), exactly.
 

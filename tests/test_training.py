@@ -75,6 +75,7 @@ def test_train_step_reduces_loss():
     assert np.isfinite(float(ev["loss"]))
 
 
+@pytest.mark.nightly
 def test_dryrun_multichip_8dev():
     """The driver's multi-chip validation path on the 8-device CPU mesh."""
     import __graft_entry__
