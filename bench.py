@@ -215,7 +215,10 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=600)
     parser.add_argument("--tokens-per-batch", type=int, default=262144)
-    parser.add_argument("--pipeline-depth", type=int, default=8)
+    # depth sweep on a healthy relay (r3): 8 -> 156.8, 16 -> 159.8,
+    # 24 -> 161.5 reads/s; deeper fetch groups amortize the ~32 ms D2H
+    # roundtrip further with negligible device memory (logits only)
+    parser.add_argument("--pipeline-depth", type=int, default=24)
     parser.add_argument("--cpu-reads", type=int, default=25)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--dtype", default="bfloat16")
