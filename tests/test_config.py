@@ -185,3 +185,18 @@ def test_train_entry_pipeline_parallel(tmp_path):
         ]
     )
     assert result is None or np.isfinite(result)
+
+
+def test_group_file_sibling_defaults_compose():
+    """A bare string in a group file's defaults loads the SIBLING option
+    (hydra semantics): trainer/ddp.yaml's `defaults: [default]` must pull in
+    trainer/default.yaml's TrainerConfig node, and logger/many_loggers.yaml
+    composes its sibling sinks."""
+    from chimeralm_tpu.config import compose
+
+    for option in ("ddp", "cpu", "tpu_pod", "pp", "ddp_sim"):
+        cfg = compose("train", [f"trainer={option}"])
+        node = cfg["trainer"]
+        assert node.get("config", {}).get("_target_", "").endswith("TrainerConfig"), option
+    cfg = compose("train", ["logger=many_loggers"])
+    assert {"csv", "tensorboard"} <= set(cfg["logger"] or {})
