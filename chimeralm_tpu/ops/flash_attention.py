@@ -56,7 +56,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int, 
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         m_cur = jnp.max(s, axis=1)
         m_new = jnp.maximum(m_prev, m_cur)
         correction = jnp.exp(m_prev - m_new)
@@ -72,31 +72,39 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int, 
     l0 = jnp.zeros((BQ,), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
+    lse_ref[0, 0] = m + jnp.log(l)
 
 
 def _fwd_pallas(q, k, v, bias, block_q: int, block_k: int, sm_scale: float):
-    """q,k,v: (BH, L, D); bias: (BH, L) f32. Returns (o, lse)."""
+    """q,k,v: (BH, L, D); bias: (BH, L) f32. Returns (o, lse (BH, L)).
+
+    Per-row vectors (bias, lse) travel as (BH, 1, L): Mosaic requires each
+    block's last two dims be (multiple-of-8, multiple-of-128) OR equal to
+    the array dims — a (1, block) window over a (BH, L) array violates the
+    sublane rule whenever BH > 1, while (1, 1, block) over (BH, 1, L) has
+    its second-to-last dim equal to the array's.
+    """
     BH, L, D = q.shape
     grid = (BH, L // block_q)
-    return pl.pallas_call(
+    o, lse3 = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
         out_shape=(
             jax.ShapeDtypeStruct((BH, L, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, L), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, L), jnp.float32),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda bh, qi: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi), memory_space=pltpu.VMEM),
         ),
-    )(q, k, v, bias)
+    )(q, k, v, bias[:, None, :])
+    return o, lse3[:, 0, :]
 
 
 # -- backward ----------------------------------------------------------------
@@ -108,8 +116,8 @@ def _bwd_dq_kernel(
     """One q-block: dQ = sm_scale * sum_k dS_blk K_blk."""
     q = q_ref[0].astype(jnp.float32) * sm_scale
     do = do_ref[0].astype(jnp.float32)  # (BQ, D)
-    lse = lse_ref[0]  # (BQ,)
-    delta = delta_ref[0]  # (BQ,)
+    lse = lse_ref[0, 0]  # (BQ,)
+    delta = delta_ref[0, 0]  # (BQ,)
     L = k_ref.shape[1]
     BQ, D = q.shape
     num_kb = L // block_k
@@ -118,7 +126,7 @@ def _bwd_dq_kernel(
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         p = jnp.exp(s - lse[:, None])  # (BQ, BK)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
@@ -136,7 +144,7 @@ def _bwd_dkv_kernel(
     """One k-block: dV = P^T dO; dK = sm_scale * dS^T Q."""
     k_blk = k_ref[0].astype(jnp.float32)  # (BK, D)
     v_blk = v_ref[0].astype(jnp.float32)
-    bias = bias_ref[0]  # (BK,)
+    bias = bias_ref[0, 0]  # (BK,)
     L = q_ref.shape[1]
     BK, D = k_blk.shape
     num_qb = L // block_q
@@ -145,8 +153,8 @@ def _bwd_dkv_kernel(
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale  # (BQ, D)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s + bias[None, :]
         p = jnp.exp(s - lse[:, None])  # (BQ, BK)
@@ -170,6 +178,8 @@ def _bwd_dkv_kernel(
 def _bwd_pallas(q, k, v, bias, o, lse, do, block_q: int, block_k: int, sm_scale: float):
     BH, L, D = q.shape
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (BH, L)
+    # (BH, 1, L) carriers for the per-row vectors — see _fwd_pallas
+    bias3, lse3, delta3 = bias[:, None, :], lse[:, None, :], delta[:, None, :]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
@@ -179,13 +189,13 @@ def _bwd_pallas(q, k, v, bias, o, lse, do, block_q: int, block_k: int, sm_scale:
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda bh, qi: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
-    )(q, k, v, bias, do, lse, delta)
+    )(q, k, v, bias3, do, lse3, delta3)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
@@ -198,16 +208,16 @@ def _bwd_pallas(q, k, v, bias, o, lse, do, block_q: int, block_k: int, sm_scale:
             pl.BlockSpec((1, L, D), lambda bh, ki: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bh, ki: (bh, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, ki: (bh, 0, ki), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda bh, ki: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda bh, ki: (bh, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda bh, ki: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda bh, ki: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda bh, ki: (bh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
         ),
-    )(q, k, v, bias, do, lse, delta)
+    )(q, k, v, bias3, do, lse3, delta3)
     return dq, dk, dv
 
 
