@@ -211,8 +211,67 @@ def roofline_fields(stats, peak_flops: float) -> dict:
     }
 
 
+def measure_child(args) -> int:
+    """Run one measurement in THIS process and print a MEASURE_RESULT line.
+
+    Executed in a subprocess by ``main``: jax caches backend-init results
+    per process, so a failed TPU init cannot be retried in-process — and
+    worse, the CPU backend may register first, silently measuring CPU
+    throughput.  The child therefore refuses to measure on the cpu backend
+    (unless BENCH_ALLOW_CPU=1, for tests) and a fresh process per attempt
+    makes retries actually meaningful.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if os.environ.get("BENCH_FORCE_PLATFORM"):  # testing hook
+        jax.config.update("jax_platforms", os.environ["BENCH_FORCE_PLATFORM"])
+    backend = jax.default_backend()
+    if backend == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        log("FATAL: default backend is 'cpu' — refusing to report CPU throughput "
+            "as reads/s/chip (set BENCH_ALLOW_CPU=1 to override for testing)")
+        return 1
+    engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch,
+                          args.pipeline_depth, fft_method=args.fft_method)
+    reads = load_reads(args.reads)
+    log(f"measuring: {len(reads)} reads on backend {backend}")
+    stats = measure(engine, reads)
+    print("MEASURE_RESULT " + json.dumps({
+        "reads_per_s": stats.reads_per_s,
+        "tokens_per_s": stats.tokens_per_s,
+        "n_reads": stats.n_reads,
+        "n_tokens": stats.n_tokens,
+        "n_padded_tokens": stats.n_padded_tokens,
+    }))
+    return 0
+
+
+def run_measurement(argv: list[str], timeout_s: float) -> tuple[dict | None, str]:
+    """Spawn the measurement child; returns (stats dict | None, diagnostic)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--measure-child", *argv],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"measurement child timed out after {timeout_s:.0f}s"
+    sys.stderr.write(out.stderr)
+    for line in out.stdout.splitlines():
+        if line.startswith("MEASURE_RESULT "):
+            return json.loads(line[len("MEASURE_RESULT "):]), ""
+    tail = (out.stderr or out.stdout).strip().splitlines()
+    return None, tail[-1] if tail else f"child exited rc={out.returncode}"
+
+
+class _Stats:
+    def __init__(self, d: dict):
+        self.__dict__.update(d)
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--measure-child", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--reads", type=int, default=600)
     parser.add_argument("--tokens-per-batch", type=int, default=262144)
     # depth sweep on a healthy relay (r3): 8 -> 156.8, 16 -> 159.8,
@@ -237,6 +296,9 @@ def main() -> int:
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
+    if args.measure_child:
+        return measure_child(args)
+
     # CPU baseline first: it needs no device and the cache makes it free.
     baseline = cpu_baseline(args.cpu_reads, refresh=args.refresh_cpu)
     log(f"cpu baseline: {baseline:.4f} reads/s")
@@ -246,34 +308,36 @@ def main() -> int:
             "No number can be produced; re-run when `python -c 'import jax; jax.devices()'` answers.")
         return 1
 
-    import jax
+    # Measurement in a SUBPROCESS with bounded retries: the relay can answer
+    # the probe and still refuse the next client, and jax caches backend-init
+    # failures per process (an in-process retry would either re-raise from
+    # cache or silently fall back to the cpu backend).
+    child_argv = []
+    for flag, val in (
+        ("--reads", args.reads), ("--tokens-per-batch", args.tokens_per_batch),
+        ("--pipeline-depth", args.pipeline_depth), ("--batch-size", args.batch_size),
+        ("--dtype", args.dtype),
+    ):
+        child_argv += [flag, str(val)]
+    if args.fft_method:
+        child_argv += ["--fft-method", args.fft_method]
 
-    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
-    # Measurement with bounded retries on backend-init failures (the relay
-    # can answer the probe and still refuse the next client for a while).
     stats = None
-    last_err = None
     deadline = time.monotonic() + args.max_wait
     for attempt in range(1, 4):
-        try:
-            engine = build_engine(args.dtype, args.batch_size, args.tokens_per_batch,
-                                  args.pipeline_depth, fft_method=args.fft_method)
-            reads = load_reads(args.reads)
-            log(f"measuring: {len(reads)} reads, attempt {attempt}")
-            stats = measure(engine, reads)
+        log(f"measurement attempt {attempt}")
+        result, diag = run_measurement(
+            child_argv, timeout_s=max(60.0, deadline - time.monotonic())
+        )
+        if result is not None:
+            stats = _Stats(result)
             break
-        except Exception as exc:  # noqa: BLE001 - diagnose, retry, bounded
-            last_err = exc
-            if not is_backend_init_error(exc):
-                raise
-            log(f"measurement attempt {attempt} hit backend error: {str(exc).splitlines()[-1]}")
-            if time.monotonic() >= deadline:
-                break
-            time.sleep(min(120 * attempt, max(1.0, deadline - time.monotonic())))
+        log(f"measurement attempt {attempt} failed: {diag}")
+        if time.monotonic() >= deadline:
+            break
+        time.sleep(min(120 * attempt, max(1.0, deadline - time.monotonic())))
     if stats is None:
-        log(f"FATAL: measurement failed after retries: {last_err}")
+        log("FATAL: measurement failed after bounded retries")
         return 1
 
     result = {

@@ -123,7 +123,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
     # local 2-proc sim: configs/trainer/ddp_sim.yaml) — each process predicts a
     # striped shard of the reads and writes rank-stamped files
     proc_index, proc_count = 0, 1
-    if args.coordinator or args.num_processes:
+    if args.coordinator or args.num_processes is not None or args.process_id is not None:
         import os as _os
 
         if not (args.coordinator or _os.environ.get("CHIMERALM_COORDINATOR")):

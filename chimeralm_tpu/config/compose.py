@@ -114,6 +114,35 @@ def _resolve_interpolations(cfg: dict) -> dict:
     return resolve(cfg, cfg)
 
 
+def _compose_sibling(config_dir, group: str, option: str, _seen: frozenset = frozenset()):
+    """Compose one group option with its bare-string sibling defaults,
+    recursively (earlier defaults are the base, the file's own keys win).
+
+    Returns ``(content, is_global)`` with ``is_global`` taken from the named
+    option's own ``@package _global_`` flag.  Dict-form entries in a
+    sibling's defaults (cross-group overrides) are not supported at this
+    depth — only the directly-selected group file may carry them.
+    """
+    if option in _seen:
+        raise ConfigError(f"circular sibling defaults in group {group!r}: {option}")
+    path = config_dir / group / f"{option}.yaml"
+    if not path.exists():
+        raise ConfigError(f"sibling default not found: {path}")
+    content, is_global = _load_yaml(path)
+    base: dict = {}
+    for sd in content.pop("defaults", []):
+        if sd == "_self_":
+            continue
+        if not isinstance(sd, str):
+            raise ConfigError(
+                f"{path}: dict-form defaults entries are only supported in the "
+                f"directly-selected group file, not in sibling {option!r}"
+            )
+        sib, _ = _compose_sibling(config_dir, group, sd, _seen | {option})
+        base = _deep_merge(base, sib)
+    return _deep_merge(base, content), is_global
+
+
 def compose(
     config_name: str = "train",
     overrides: list[str] | None = None,
@@ -180,12 +209,9 @@ def compose(
                 # names a SIBLING option of the same group (e.g.
                 # trainer/ddp.yaml "defaults: [default]" inherits
                 # trainer/default.yaml; logger/many_loggers.yaml composes
-                # its sibling sinks)
-                p2 = config_dir / group / f"{sd}.yaml"
-                if not p2.exists():
-                    raise ConfigError(f"sibling default not found: {p2}")
-                s2, glob2 = _load_yaml(p2)
-                s2.pop("defaults", None)
+                # its sibling sinks).  Chains recurse (pp_8dev -> pp ->
+                # default); cycles error out.
+                s2, glob2 = _compose_sibling(config_dir, group, sd)
                 cfg = _deep_merge(cfg, s2 if glob2 else {group: s2})
                 continue
             (g2, o2), = sd.items()

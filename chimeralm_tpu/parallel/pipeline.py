@@ -187,12 +187,24 @@ class PipelineTask(ClassificationTask):
 
     def _forward(self, params, batch, deterministic: bool, rngs=None,
                  model_state=None, mutable=False):
+        ids = batch["input_ids"]
+        mask = batch.get("attention_mask")
+        B = ids.shape[0]
+        # partial final batches (val/test loops don't drop_last): pad rows to
+        # a microbatch multiple with PAD ids + zero mask, slice logits back
+        extra = (-B) % self.n_micro
+        if extra:
+            from chimeralm_tpu.data.tokenizer import PAD_ID
+
+            ids = jnp.pad(ids, ((0, extra), (0, 0)), constant_values=PAD_ID)
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, extra), (0, 0)))
         logits = pipeline_forward(
-            self.model, params, batch["input_ids"], self.pp_mesh,
+            self.model, params, ids, self.pp_mesh,
             n_micro=self.n_micro, axis_name=self.pp_axis,
-            attention_mask=batch.get("attention_mask"),
+            attention_mask=mask,
             deterministic=deterministic, rngs=rngs,
-        )
+        )[:B]
         if mutable and model_state:
             return logits, dict(model_state)
         return logits, dict(model_state or {})

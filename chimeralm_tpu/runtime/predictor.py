@@ -348,9 +348,14 @@ class PredictEngine:
             stats.n_reads += batch["valid"]
             stats.n_batches += 1
             stats.n_tokens += int(batch["input_ids"].shape[0] * batch["input_ids"].shape[1])
+            # parity mode has no mask; PAD-id count gives the same quantity
+            valid_tokens = int(
+                batch["mask"].sum()
+                if batch["mask"] is not None
+                else (batch["input_ids"] != PAD_ID).sum()
+            )
             stats.n_padded_tokens += int(
-                batch["input_ids"].shape[0] * batch["input_ids"].shape[1]
-                - (batch["mask"].sum() if batch["mask"] is not None else 0)
+                batch["input_ids"].shape[0] * batch["input_ids"].shape[1] - valid_tokens
             )
         flush()
         stats.wall_s = time.perf_counter() - start

@@ -49,9 +49,16 @@ i=0
 for chunk in "${CHUNKS[@]}"; do
     i=$((i + 1))
     out_dir="$OUT_BASE/chunk_$i"
+    # resume keys on chunk IDENTITY, not position: a finished dir is only
+    # skipped if it was produced from the same source file
     if [[ -f "$out_dir/predicts.txt" ]]; then
-        log "chunk $i already collected, skipping ($out_dir/predicts.txt)"
-        continue
+        if [[ "$(cat "$out_dir/source.txt" 2>/dev/null)" == "$chunk" ]]; then
+            log "chunk $i already collected, skipping ($out_dir/predicts.txt)"
+            continue
+        fi
+        log "ERROR: $out_dir holds results for '$(cat "$out_dir/source.txt" 2>/dev/null)'," \
+            "not '$chunk' — use a fresh OUT_BASE (stale results are never merged)"
+        exit 1
     fi
     [[ -f "$chunk" ]] || { log "WARNING: chunk file missing: $chunk"; }
     log "chunk $i/${#CHUNKS[@]}: $chunk -> $out_dir"
@@ -65,6 +72,7 @@ for chunk in "${CHUNKS[@]}"; do
         # phase 2 (getforp2 equivalent): per-chunk name\tlabel collection
         python "$REPO/scripts/get_result_from_predictions.py" collect \
             "$out_dir/predictions" --output-path "$out_dir/predicts.txt"
+        printf '%s' "$chunk" > "$out_dir/source.txt"
         log "chunk $i done"
     else
         log "ERROR: chunk $i failed"
@@ -77,6 +85,12 @@ if [[ ${#failed[@]} -gt 0 ]]; then
     exit 1
 fi
 
-# phase 3 (collectp2 equivalent): concatenate per-chunk results
-cat "$OUT_BASE"/chunk_*/predicts.txt > "$OUT_BASE/predicts.txt"
+# phase 3 (collectp2 equivalent): concatenate THIS invocation's chunks only
+# (an explicit index list, not a glob — leftover chunk dirs from a previous
+# run with a different chunk list must never leak into the merge)
+merge_files=()
+for ((j = 1; j <= ${#CHUNKS[@]}; j++)); do
+    merge_files+=("$OUT_BASE/chunk_$j/predicts.txt")
+done
+cat "${merge_files[@]}" > "$OUT_BASE/predicts.txt"
 log "merged $(wc -l < "$OUT_BASE/predicts.txt") predictions -> $OUT_BASE/predicts.txt"

@@ -200,3 +200,23 @@ def test_group_file_sibling_defaults_compose():
         assert node.get("config", {}).get("_target_", "").endswith("TrainerConfig"), option
     cfg = compose("train", ["logger=many_loggers"])
     assert {"csv", "tensorboard"} <= set(cfg["logger"] or {})
+
+
+def test_sibling_defaults_chain_recursively(tmp_path):
+    """Sibling inheritance follows chains (a -> b -> base) and rejects cycles."""
+    from chimeralm_tpu.config import compose
+    from chimeralm_tpu.config.compose import ConfigError
+
+    (tmp_path / "grp").mkdir()
+    (tmp_path / "root.yaml").write_text("defaults:\n  - grp: a\n")
+    (tmp_path / "grp/base.yaml").write_text("x: 1\ny: base\n")
+    (tmp_path / "grp/b.yaml").write_text("defaults:\n  - base\ny: b\nz: 2\n")
+    (tmp_path / "grp/a.yaml").write_text("defaults:\n  - b\nz: 3\n")
+    cfg = compose("root", [], config_dir=tmp_path)
+    assert cfg["grp"] == {"x": 1, "y": "b", "z": 3}
+
+    (tmp_path / "grp/c.yaml").write_text("defaults:\n  - d\n")
+    (tmp_path / "grp/d.yaml").write_text("defaults:\n  - c\n")
+    (tmp_path / "root2.yaml").write_text("defaults:\n  - grp: c\n")
+    with pytest.raises(ConfigError, match="circular"):
+        compose("root2", [], config_dir=tmp_path)

@@ -352,3 +352,35 @@ def test_pipeline_train_step_matches_single_device():
     ):
         scale = max(float(jnp.abs(b).max()), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_pipeline_task_partial_batch():
+    """Eval/test loops don't drop_last: a batch with B % n_micro != 0 must
+    pad to a microbatch multiple internally and still match the unsharded
+    logits row-for-row."""
+    from jax.sharding import Mesh
+
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+    from chimeralm_tpu.parallel.pipeline import PipelineTask
+
+    cfg = tiny_config(fft_method="matmul")
+    model = HyenaDnaClassifier(config=cfg)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    task = PipelineTask(model, mesh, n_micro=4)
+
+    B, L = 5, 128  # 5 % 4 != 0
+    rng = np.random.default_rng(41)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(7, 11, size=(B, L)), jnp.int32),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 2, size=(B,)), jnp.int64),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"][:1, :64])["params"]
+    out = task.eval_step(params, batch)
+    assert out["logits"].shape == (B, 2)
+    ref = model.apply({"params": params}, batch["input_ids"],
+                      attention_mask=batch["attention_mask"])
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref),
+        atol=1e-4 * max(float(jnp.abs(ref).max()), 1.0), rtol=1e-4,
+    )
