@@ -45,6 +45,7 @@ class DNAConvNet(nn.Module):
         x = x * pad_mask
 
         # convs operate channels-last (B, L, C) — XLA's native TPU layout
+        m = pad_mask
         for i, (filters, kernel, pool) in enumerate(
             zip(self.num_filters, self.kernel_sizes, self.pool_sizes)
         ):
@@ -52,9 +53,19 @@ class DNAConvNet(nn.Module):
             x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name=f"bn_{i}")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.max_pool(x, window_shape=(pool,), strides=(pool,))
+            m = nn.max_pool(m, window_shape=(pool,), strides=(pool,))
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
-        x = x.mean(axis=1)  # AdaptiveAvgPool1d(1)
+        if attention_mask is not None:
+            # masked AdaptiveAvgPool1d(1): mean over VALID positions only.
+            # With fixed-shape TPU batches the plain mean is dominated by the
+            # pad fraction (a per-batch length statistic, not content), which
+            # destabilizes the head; the reference pads to longest-in-batch
+            # (small pad fraction) so its unmasked mean is benign.  Without a
+            # mask this reduces to the reference's exact pooling.
+            x = (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        else:
+            x = x.mean(axis=1)  # AdaptiveAvgPool1d(1)
         x = nn.Dense(self.hidden_dim, name="fc_0")(x)
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="fc_bn")(x)
         x = nn.gelu(x, approximate=False)

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--lr", type=float, default=None, help="override the config LR")
+    p.add_argument("--warmup-steps", type=int, default=100)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop patience (default: epochs//2; plateau-then-"
+                        "crack dynamics need it >= the full budget)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--workdir", default=str(REPO / "demo" / "zoo_run"))
     p.add_argument("--out", default=str(REPO / "demo" / "zoo"))
@@ -88,6 +92,12 @@ def main(argv=None) -> int:
             model_node["learning_rate"] = args.lr
         task = instantiate(model_node)
         lr = model_node.get("learning_rate", 1e-4)
+        if args.warmup_steps:
+            from chimeralm_tpu.runtime.optim import make_adamw
+
+            task.optimizer = make_adamw(
+                lr, model_node.get("weight_decay", 0.01), warmup_steps=args.warmup_steps
+            )
 
         tok = CharacterTokenizer(model_max_length=args.ctx + 2, padding_side="right")
         dm = ParquetDataModule(
@@ -102,7 +112,7 @@ def main(argv=None) -> int:
             task,
             TrainerConfig(
                 max_epochs=args.epochs, seed=args.seed, learning_rate=lr,
-                early_stop_patience=max(6, args.epochs // 2),
+                early_stop_patience=args.patience or max(6, args.epochs // 2),
                 plateau_patience=max(4, args.epochs // 3),
                 drop_last=True,
             ),
