@@ -98,7 +98,12 @@ class SequenceCNNTransformer(nn.Module):
         attention_mask: jnp.ndarray | None = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = nn.Embed(self.vocab_size, self.d_model, name="embedding")(input_ids)
+        # torch nn.Embedding init semantics (N(0,1)): flax's default 1/sqrt(d)
+        # scale leaves the conv features ~14x smaller than the unit-amplitude
+        # sinusoidal PE, so attention sees position and (almost) no content —
+        # measured std 0.05 vs 0.71, and from-scratch training pins at ln 2
+        x = nn.Embed(self.vocab_size, self.d_model,
+                     embedding_init=nn.initializers.normal(1.0), name="embedding")(input_ids)
         x = x * (input_ids != self.padding_idx)[..., None].astype(x.dtype)
 
         # CNN stack: 3 x (conv + 2x maxpool) => 8x length reduction

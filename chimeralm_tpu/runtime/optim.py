@@ -54,6 +54,7 @@ def make_adamw_grouped(
     filter_lr_scale: float = 1.0,
     head_lr_scale: float = 1.0,
     clip_norm: float | None = None,
+    head_paths: tuple = ("head",),
 ) -> optax.GradientTransformation:
     """AdamW with separate param groups for filter and classifier-head params.
 
@@ -83,7 +84,7 @@ def make_adamw_grouped(
                 else:
                     if any("filter_fn" in part for part in p):
                         out[k] = "filter"
-                    elif any(part == "head" for part in p):
+                    elif any(part in head_paths for part in p):
                         out[k] = "head"
                     else:
                         out[k] = "default"

@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     p.add_argument("--patience", type=int, default=None,
                    help="early-stop patience (default: epochs//2; plateau-then-"
                         "crack dynamics need it >= the full budget)")
+    p.add_argument("--head-lr-scale", type=float, default=1.0,
+                   help="classifier-head LR multiplier (the flagship's boosted-"
+                        "head recipe: attention-pooling gradients dilute ~1/L)")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override the model config's dropout rate")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--workdir", default=str(REPO / "demo" / "zoo_run"))
     p.add_argument("--out", default=str(REPO / "demo" / "zoo"))
@@ -90,14 +95,27 @@ def main(argv=None) -> int:
         model_node = cfg["model"]
         if args.lr is not None:
             model_node["learning_rate"] = args.lr
+        if args.dropout is not None:
+            model_node["model"]["dropout"] = args.dropout
         task = instantiate(model_node)
         lr = model_node.get("learning_rate", 1e-4)
-        if args.warmup_steps:
-            from chimeralm_tpu.runtime.optim import make_adamw
+        if args.warmup_steps or args.head_lr_scale != 1.0:
+            from chimeralm_tpu.runtime.optim import make_adamw, make_adamw_grouped
 
-            task.optimizer = make_adamw(
-                lr, model_node.get("weight_decay", 0.01), warmup_steps=args.warmup_steps
-            )
+            wd = model_node.get("weight_decay", 0.01)
+            if args.head_lr_scale != 1.0:
+                # per-backbone classifier-head module names
+                head_paths = {
+                    "cnn": ("fc_0", "fc_bn", "fc_1"),
+                    "transformer": ("attn_pool", "cls_0", "cls_1"),
+                    "mamba": ("pooler_dense", "cls_0", "cls_1"),
+                }[name]
+                task.optimizer = make_adamw_grouped(
+                    lr, wd, warmup_steps=args.warmup_steps,
+                    head_lr_scale=args.head_lr_scale, head_paths=head_paths,
+                )
+            else:
+                task.optimizer = make_adamw(lr, wd, warmup_steps=args.warmup_steps)
 
         tok = CharacterTokenizer(model_max_length=args.ctx + 2, padding_side="right")
         dm = ParquetDataModule(
@@ -150,8 +168,12 @@ def main(argv=None) -> int:
             "lr": lr, "seed": args.seed, "results": row,
         }, indent=2, default=str))
 
-    logger.info("zoo table: %s", json.dumps(table, indent=2))
-    (out_root / "table.json").write_text(json.dumps(table, indent=2))
+    # merge into the cross-invocation table (each run may train a subset)
+    table_path = out_root / "table.json"
+    merged = json.loads(table_path.read_text()) if table_path.exists() else {}
+    merged.update(table)
+    logger.info("zoo table: %s", json.dumps(merged, indent=2))
+    table_path.write_text(json.dumps(merged, indent=2))
     return 0
 
 

@@ -261,3 +261,23 @@ def test_flagship_export_meta_gates(name, ctx):
     meta = json.loads((d / "meta.json").read_text())
     assert meta["final_ctx"] == ctx
     assert meta["results"]["test"]["test/f1"] >= 0.93
+
+
+@pytest.mark.parametrize("name", ["cnn", "transformer", "mamba"])
+def test_zoo_backbone_meta_gates(name):
+    """Every secondary backbone trains to quality on the synthetic task.
+
+    The reference publishes one F1 per backbone family from its real-data
+    runs (CNN 0.8763 / Transformer 0.8705, scripts/runforp2.sh:5-14; Mamba
+    0.9347, run_eval.sh:30). scripts/train_zoo.py produces the in-framework
+    counterpart; demo/zoo/{name}/meta.json records the held-out results
+    (all >= 0.99 at ctx=2048 on one v5e chip, round 3)."""
+    import json
+
+    meta_file = Path(__file__).parent.parent / "demo" / "zoo" / name / "meta.json"
+    if not meta_file.exists():
+        pytest.skip(f"zoo backbone {name} not trained yet")
+    meta = json.loads(meta_file.read_text())
+    assert meta["results"]["test/f1"] >= 0.95
+    assert meta["results"]["test/precision"] >= 0.9
+    assert meta["results"]["test/recall"] >= 0.9
