@@ -81,12 +81,21 @@ def fft_conv(
         # bucket where every direct kernel hits a Mosaic compile bound:
         # 3 full/head sub-convs at the proven n/2 geometry, measured 25.8 ms
         # vs 31.4 ms einsum (B=8 D=256).
-        from chimeralm_tpu.ops.pallas_dft import fft_conv_pallas, supported, supported_oa
+        from chimeralm_tpu.ops.pallas_dft import (
+            fft_conv_pallas,
+            supported,
+            supported_block,
+            supported_oa,
+        )
 
         D = u.shape[-2]
         B = u.shape[0] if u.ndim == 3 else 1
+        from chimeralm_tpu.ops.pallas_dft import _MIN_BLOCK_L
+
         if jax.default_backend() == "tpu" and (
-            supported(fft_size, D, L, B) or supported_oa(fft_size, D, L, B)
+            supported(fft_size, D, L, B)
+            or supported_oa(fft_size, D, L, B)
+            or (L >= _MIN_BLOCK_L and supported_block(D, L))
         ):
             if u.ndim == 2:
                 return fft_conv_pallas(u[None], k, bias, fft_size)[0].astype(u.dtype)

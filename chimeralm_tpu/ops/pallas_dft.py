@@ -278,6 +278,293 @@ def _dft_conv_pair_kernel(
         out_ref[1] = (y1full[sl] + u1 * bias_ref[...]).astype(out_ref.dtype)
 
 
+def _cidft(pr, pi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
+    """Scrambled spectrum (bc, n1, n2) -> time domain (bc, n), complex.
+
+    Unnormalized inverse (conjugate stages of ``_fwd_dft``); returns both
+    components — the packed-inverse trick reads two real convolution
+    results out of one complex transform (re and im)."""
+    pr2 = pr.reshape(bc * n1, n2)
+    pi2 = pi.reshape(bc * n1, n2)
+    qr = (_dot(pr2, f2r) + _dot(pi2, f2i)).reshape(bc, n1, n2)
+    qi = (_dot(pi2, f2r) - _dot(pr2, f2i)).reshape(bc, n1, n2)
+    tbr = jnp.swapaxes(twTr, 0, 1)[None]
+    tbi = -jnp.swapaxes(twTi, 0, 1)[None]
+    rr = qr * tbr - qi * tbi
+    ri = qr * tbi + qi * tbr
+    rr2 = jnp.swapaxes(rr, 1, 2).reshape(bc * n2, n1)
+    ri2 = jnp.swapaxes(ri, 1, 2).reshape(bc * n2, n1)
+    yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
+    yi = (_dot(ri2, f1r) - _dot(rr2, f1i)).reshape(bc, n2, n1)
+    yr = jnp.swapaxes(yr, 1, 2).reshape(bc, n1 * n2)
+    yi = jnp.swapaxes(yi, 1, 2).reshape(bc, n1 * n2)
+    return yr, yi
+
+
+def _packed_fwd2(b0, b1, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
+    """Spectra of TWO real (bc, n) signals from ONE complex DFT.
+
+    z = b0 + i*b1; DFT(z) and DFT(conj z) share the four stage-1 matmul
+    products (the trick of ``_half_fwd``), then U0 = (Z + Zf)/2 and
+    U1 = (Z - Zf)/(2i).  8 stage dots for two spectra — the same economics
+    as the batch-pair kernel, applied across sequence *blocks*."""
+    x0 = b0.reshape(bc, n1, n2)
+    x1 = b1.reshape(bc, n1, n2)
+    xt0 = jnp.swapaxes(x0, 1, 2).reshape(bc * n2, n1)
+    xt1 = jnp.swapaxes(x1, 1, 2).reshape(bc * n2, n1)
+    p1 = _dot(xt0, f1r)
+    p2 = _dot(xt0, f1i)
+    p3 = _dot(xt1, f1r)
+    p4 = _dot(xt1, f1i)
+
+    def stage2(br, bi):
+        br = br.reshape(bc, n2, n1)
+        bi = bi.reshape(bc, n2, n1)
+        cr = br * twTr[None] - bi * twTi[None]
+        ci = br * twTi[None] + bi * twTr[None]
+        cr = jnp.swapaxes(cr, 1, 2).reshape(bc * n1, n2)
+        ci = jnp.swapaxes(ci, 1, 2).reshape(bc * n1, n2)
+        dr = (_dot(cr, f2r) - _dot(ci, f2i)).reshape(bc, n1, n2)
+        di = (_dot(cr, f2i) + _dot(ci, f2r)).reshape(bc, n1, n2)
+        return dr, di
+
+    zr, zi = stage2(p1 - p4, p2 + p3)      # Z  = DFT(b0 + i b1)
+    zfr, zfi = stage2(p1 + p4, p2 - p3)    # Zf = DFT(b0 - i b1)
+    u0 = (0.5 * (zr + zfr), 0.5 * (zi + zfi))
+    u1 = (0.5 * (zi - zfi), 0.5 * (zfr - zr))
+    return u0, u1
+
+
+def _dft_conv_block_kernel(
+    u_ref, kr_ref, ki_ref, bias_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
+    out_ref,
+    *, n: int, n1: int, n2: int, bc: int, L: int, m: int,
+):
+    """m-block decomposition of the long conv at block fft size n = 2h.
+
+    u and k split into m blocks of h = L/m; every cross-block sub-conv
+    (i, j) with i + j < m contributes to the causal output, and ALL of them
+    share the m forward block-DFTs: S_t = sum_{i+j=t} U_i * K_j, then one
+    inverse per output block (packed two-per-complex-transform).  Total
+    transforms: ceil(m/2) packed forward + ceil(m/2) packed inverse at
+    n = 2h — vs the 3-call overlap-add's 6 unpacked transforms at 2L.
+    Output block t = head(inv S_t) + tail(inv S_{t-1}).
+
+    The filter block spectra arrive precomputed (``block_filter_spectra``,
+    scaled 1/n): keeping their DFT inside the kernel costs 2m VMEM scratch
+    buffers + transients — the m = 4 variant measured 18.75M of scoped
+    stack against the 16M limit (hence also no pl.when branch, which is a
+    known Mosaic crash vector with inverse stages).
+    """
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twTr, twTi = twTr_ref[...], twTi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+    h = n // 2
+
+    # VMEM discipline (the m = 4 variant sits right at the 16M scoped
+    # limit): u blocks are sliced/cast/padded one at a time (never a full
+    # (bc, L) f32 copy), outputs are stored per block (no concat buffer),
+    # and only the previous inverse stays live across the store loop.
+    def ublock(t):
+        b = u_ref[0, :, t * h : (t + 1) * h].astype(jnp.float32)
+        return jnp.pad(b, ((0, 0), (0, n - h)))
+
+    us = []
+    for p in range(0, m - 1, 2):
+        s0, s1 = _packed_fwd2(
+            ublock(p), ublock(p + 1), f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc
+        )
+        us += [s0, s1]
+    if m % 2:
+        b = ublock(m - 1).reshape(bc, n1, n2)
+        us.append(_fwd_dft(b, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc))
+
+    def spectrum_pair(t):
+        """W = S_t + i*S_{t+1} accumulated directly (2 live buffers, not 4),
+        with S_t = sum_{i+j=t} U_i * K_j (complex, scrambled layout)."""
+        wr = wi = None
+        for t_ in (t, t + 1):
+            if t_ >= m:
+                break
+            imag = t_ != t  # S_{t+1} rides the imaginary slot
+            for i in range(t_ + 1):
+                ur, ui = us[i]
+                kr = kr_ref[t_ - i]
+                ki = ki_ref[t_ - i]
+                pr = ur * kr - ui * ki
+                pi = ur * ki + ui * kr
+                ar, ai = (-pi, pr) if imag else (pr, pi)
+                wr = ar if wr is None else wr + ar
+                wi = ai if wi is None else wi + ai
+        return wr, wi
+
+    bias = bias_ref[...]
+
+    def store(t, y_t, y_prev):
+        """out block t = head(inv S_t) + tail(inv S_{t-1}) + bias * u_t."""
+        y = y_t[:, :h]
+        if y_prev is not None:
+            y = y + y_prev[:, h:]
+        y = y + u_ref[0, :, t * h : (t + 1) * h].astype(jnp.float32) * bias
+        out_ref[0, :, t * h : (t + 1) * h] = y.astype(out_ref.dtype)
+
+    y_prev = None
+    for t in range(0, m, 2):
+        wr, wi = spectrum_pair(t)
+        # both S inverses are real (spectra of real signals), so one complex
+        # inverse returns them as (re, im)
+        yr, yi = _cidft(wr, wi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+        store(t, yr, y_prev)
+        if t + 1 < m:
+            store(t + 1, yi, yr)
+        y_prev = yi
+
+
+#: candidate block sizes of the m-block kernel, largest first.  h = 8192
+#: (block fft n = 16384 = 128 x 128) is the cheapest-per-transform geometry
+#: on TPU (the pair kernel's sweet spot) but only fits scoped VMEM up to
+#: m = 2; h = 4096 (n = 8192 = 64 x 128, still legal) covers larger m.
+BLOCK_HS = (8192, 4096)
+#: default block size (tests override); None = auto-select per L
+BLOCK_H = None
+
+
+def _block_geometry(L: int, h: int, interpret: bool = False):
+    """(m, n, n1, n2) of the m-block kernel, or None if L doesn't fit it."""
+    if h is None or h <= 0 or L % h or L < 2 * h:
+        return None
+    m = L // h
+    n = 2 * h
+    n1, n2 = _factor(n)
+    if not interpret and jax.default_backend() == "tpu":
+        if not (n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0):
+            return None
+    return m, n, n1, n2
+
+
+def _pick_bc_block(n: int, D: int, m: int, interpret: bool = False) -> int | None:
+    """Channel block for the m-block kernel.
+
+    Live-VMEM model anchored to measured Mosaic stack peaks (compile error
+    reports at bc = 8): m = 4/n = 16384 -> 17.9M, m = 8/n = 8192 -> 19.7M.
+    (6m + 30) (bc, n) f32 units upper-bounds both (2m u-spectra + 2m
+    filter-spectra windows + stage intermediates + allocator padding),
+    checked against the raised 48M scoped limit with 4M headroom."""
+    if interpret or jax.default_backend() != "tpu":
+        return next((bc for bc in (16, 8, 4, 2, 1) if D % bc == 0), 1)
+    live = 6 * m + 30
+    for bc in (32, 24, 16, 8):
+        if D % bc == 0 and bc * n * 4 * live <= 44 * 1024 * 1024:
+            return bc
+    return None
+
+
+def _choose_block_h(D: int, L: int, interpret: bool = False) -> int | None:
+    """Largest candidate h whose geometry is legal AND fits scoped VMEM."""
+    for h in BLOCK_HS:
+        g = _block_geometry(L, h, interpret)
+        if g is None:
+            continue
+        m, n, _n1, _n2 = g
+        if _pick_bc_block(n, D, m, interpret) is not None:
+            return h
+    return None
+
+
+def supported_block(D: int, L: int, h: int | None = None, interpret: bool = False) -> bool:
+    """True when the m-block kernel covers (D, L) on this backend."""
+    h = h or BLOCK_H or _choose_block_h(D, L, interpret)
+    g = _block_geometry(L, h, interpret)
+    if g is None:
+        return False
+    m, n, _n1, _n2 = g
+    return _pick_bc_block(n, D, m, interpret) is not None
+
+
+def block_filter_spectra(k: jnp.ndarray, h: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scrambled block spectra of the (D, L) filter, scaled by 1/n.
+
+    Computed OUTSIDE the kernel as plain jnp (XLA matmuls), like
+    ``half_filter_spectrum``: in-kernel filter DFTs cost 2m VMEM scratch
+    buffers plus the pl.when compute branch, which blows the 16M scoped
+    limit at m >= 4 (measured).  Returns (kr, ki) of shape
+    (m, D, n1, n2) ready for the kernel's pointwise products.
+    """
+    D, L = k.shape
+    m = L // h
+    n = 2 * h
+    n1, n2, *consts = _constants(n)
+    f1r, f1i, twTr, twTi, f2r, f2i = (jnp.asarray(c) for c in consts)
+    k32 = k.astype(jnp.float32)
+    specs = []
+    for t in range(m):
+        blk = jnp.pad(k32[:, t * h : (t + 1) * h], ((0, 0), (0, n - h)))
+        specs.append(
+            _fwd_dft(blk.reshape(D, n1, n2), f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, D)
+        )
+    kr = jnp.stack([s[0] for s in specs]) / n
+    ki = jnp.stack([s[1] for s in specs]) / n
+    return kr, ki
+
+
+def dft_conv_pallas_block(u, k, bias, h: int | None = None, interpret: bool = False):
+    """Causal linear conv via the m-block fused kernel (see the kernel doc).
+
+    u: (B, D, L) with L = m*h; k: (D, L) float32; bias: (D,).  Same output
+    contract as ``fft_conv_matmul(u, k, bias, next_pow2(2L))``.
+    """
+    B, D, L = u.shape
+    h = h or BLOCK_H or _choose_block_h(D, L, interpret)
+    g = _block_geometry(L, h, interpret)
+    if g is None:
+        raise ValueError(f"dft_conv_pallas_block: L={L} is not a >=2 multiple of h={h}")
+    m, n, n1, n2 = g
+    bc = _pick_bc_block(n, D, m, interpret)
+    if bc is None:
+        raise ValueError(f"dft_conv_pallas_block: no VMEM-fitting bc for n={n}, m={m}")
+    _n1, _n2, *consts = _constants(n)
+    kr, ki = block_filter_spectra(k, h)
+
+    kernel = functools.partial(
+        _dft_conv_block_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L, m=m
+    )
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda c, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    kspec = pl.BlockSpec((m, bc, n1, n2), lambda c, b: (0, c, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, D, L), u.dtype),
+        grid=(D // bc, B),
+        in_specs=[
+            pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+            kspec,
+            kspec,
+            pl.BlockSpec((bc, 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
+            const_spec((n1, n1)), const_spec((n1, n1)),
+            const_spec((n2, n1)), const_spec((n2, n1)),
+            const_spec((n2, n2)), const_spec((n2, n2)),
+        ],
+        out_specs=pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        **({"interpret": True} if interpret else {}),
+        # the m-block kernel legitimately holds 2m block spectra live (u + k)
+        # plus inverse-stage intermediates: ~18-20M at m = 4/8 — raise the
+        # Mosaic scoped-VMEM limit above its conservative 16M default
+        # (v5e has 128M VMEM/core; 48M leaves ample window double-buffering)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            # ceil(m/2) packed fwd + ceil(m/2) packed inv, 8 stage dots each
+            flops=_PASSES.get(_PREC, 3) * 8 * (n1 + n2) * ((m + 1) // 2) * 2 * B * D * n // m,
+            bytes_accessed=(2 * B * D * L + 2 * D * L) * 4,
+            transcendentals=0,
+        ),
+    )(
+        u, kr, ki, bias.astype(jnp.float32).reshape(D, 1),
+        *(jnp.asarray(c) for c in consts),
+    )
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _half_constants(n: int):
     """Constants for the half-complex (rfft-style) kernel.
@@ -512,7 +799,10 @@ def _select_kernel(n: int, D: int, B: int, interpret: bool = False):
 
 
 def supported(n: int, D: int, L: int, B: int = 2) -> bool:
-    return n == 2 * L and _select_kernel(n, D, B) is not None
+    # n >= 2L suffices: the kernels zero-pad u and k from L to n internally
+    # (any n >= 2L-1 computes the same linear conv), so non-power-of-two
+    # length buckets ride the same kernels at the next power-of-two fft.
+    return n >= 2 * L and _select_kernel(n, D, B) is not None
 
 
 def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size: int,
@@ -530,6 +820,8 @@ def dft_conv_pallas(u: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, fft_size:
     """
     B, D, L = u.shape
     n = fft_size
+    if part != "head" and n != 2 * L:
+        raise ValueError(f"part={part!r} requires n == 2L (overlap-add geometry), got n={n}, L={L}")
     if kind is None:
         sel = _select_kernel(n, D, B, interpret=interpret)
         if sel is None:
@@ -651,8 +943,22 @@ def dft_conv_pallas_oa(u, k, bias, fft_size, interpret: bool = False):
     return y + (u * bias[None, :, None]).astype(y.dtype)
 
 
+#: kill switch for the m-block kernel (CHIMERALM_BLOCK_CONV=0 restores the
+#: round-3 direct/overlap-add routing)
+_BLOCK_ENABLED = os.environ.get("CHIMERALM_BLOCK_CONV", "1") != "0"
+
+#: below this L the direct kernels win (batch-pair packing at n = 2L beats
+#: the block decomposition's extra spectrum products)
+_MIN_BLOCK_L = 12288
+
+
 def _pallas_forward(u, k, bias, fft_size):
     B, D, L = u.shape
+    # the m-block kernel shares forward DFTs across all sub-convs and runs
+    # at the cheapest-per-transform block fft — measured faster than both
+    # the direct real kernel (16k bucket) and the 3-call overlap-add (32k)
+    if _BLOCK_ENABLED and L >= _MIN_BLOCK_L and supported_block(D, L):
+        return dft_conv_pallas_block(u, k, bias)
     if supported(fft_size, D, L, B):
         return dft_conv_pallas(u, k, bias, fft_size)
     return dft_conv_pallas_oa(u, k, bias, fft_size)

@@ -212,3 +212,119 @@ def test_vjp_grads_match_einsum_at_overlap_add_shape(monkeypatch):
             np.asarray(a), np.asarray(b),
             atol=1e-4 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3,
         )
+
+
+@pytest.mark.parametrize("m", [2, 3, 4])
+def test_block_kernel_matches_matmul_fft(m):
+    """m-block kernel (shared fwd DFTs, packed inverses) vs einsum path."""
+    from chimeralm_tpu.ops.pallas_dft import dft_conv_pallas_block
+
+    h = 1024
+    rng = np.random.default_rng(20 + m)
+    B, D, L = 2, 4, m * h
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    out = np.asarray(dft_conv_pallas_block(u, k, bias, h=h, interpret=True))
+    # reference at the fft size the production path would otherwise use
+    n_ref = 1
+    while n_ref < 2 * L:
+        n_ref <<= 1
+    ref = np.asarray(fft_conv_matmul(u, k, bias, n_ref))
+    np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max(), rtol=1e-3)
+
+
+def test_block_kernel_against_naive_conv():
+    """Ground truth: direct O(L^2) causal conv."""
+    from chimeralm_tpu.ops.fft_conv import reference_conv_naive
+    from chimeralm_tpu.ops.pallas_dft import dft_conv_pallas_block
+
+    rng = np.random.default_rng(31)
+    B, D, h, m = 1, 2, 512, 3
+    L = m * h
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    ref = reference_conv_naive(np.asarray(u), np.asarray(k), np.asarray(bias))
+    out = np.asarray(dft_conv_pallas_block(u, k, bias, h=h, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
+
+
+def test_block_kernel_bfloat16_io():
+    from chimeralm_tpu.ops.pallas_dft import dft_conv_pallas_block
+
+    rng = np.random.default_rng(33)
+    B, D, h, m = 2, 4, 1024, 2
+    L = m * h
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    out = dft_conv_pallas_block(u.astype(jnp.bfloat16), k, bias, h=h, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(fft_conv_matmul(u, k, bias, 2 * L))
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.12 * np.abs(ref).max())
+
+
+def test_block_routing_on_tpu_geometry(monkeypatch):
+    """Production buckets 16k/24k/32k route to the m-block kernel (bc=8)."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    monkeypatch.setattr(pd.jax, "default_backend", lambda: "tpu")
+    assert pd.supported_block(256, 16384)
+    assert pd.supported_block(256, 24576)
+    assert pd.supported_block(256, 32768)
+    assert pd.supported_block(256, 12288)       # fine bucket: m=3 at h=4096
+    # auto-h: largest geometry that fits the measured scoped-VMEM model
+    # under the raised 48M Mosaic limit (m=4/n=16384 measured 17.9M)
+    assert pd._choose_block_h(256, 16384) == 8192
+    assert pd._choose_block_h(256, 24576) == 8192
+    assert pd._choose_block_h(256, 32768) == 8192
+    assert pd._block_geometry(32768, 8192) == (4, 16384, 128, 128)
+    assert pd._pick_bc_block(16384, 256, 4) == 8
+    assert pd._pick_bc_block(8192, 256, 8) == 16
+
+
+def test_vjp_grads_match_einsum_at_block_shape(monkeypatch):
+    """Grads through fft_conv_pallas when the block kernel is the route."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    rng = np.random.default_rng(37)
+    B, D, L = 1, 2, 4096
+    n = 2 * L
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=u.shape), jnp.float32)
+
+    monkeypatch.setattr(pd, "BLOCK_H", 1024)  # route L=4096 -> m=4 blocks
+    monkeypatch.setattr(pd, "_MIN_BLOCK_L", 0)
+
+    def loss_pallas(u, k, bias):
+        return jnp.sum(pd.fft_conv_pallas(u, k, bias, n) * cot)
+
+    def loss_ref(u, k, bias):
+        return jnp.sum(fft_conv_matmul(u, k, bias, n) * cot)
+
+    with _interpret_pallas():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(u, k, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(u, k, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3
+        )
+
+
+@pytest.mark.parametrize("L,n", [(3072, 8192), (6144, 16384)])
+def test_direct_kernels_generalize_below_half_fft(L, n):
+    """Direct kernels accept L < n/2 (fine non-power-of-two buckets).
+
+    (L=1536 -> n=4096 stays on the einsum path: 64x64 factors are below
+    the kernels' legality bounds, matching ``supported()``.)"""
+    rng = np.random.default_rng(41)
+    B, D = 2, 4
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    out = np.asarray(dft_conv_pallas(u, k, bias, n, interpret=True))
+    ref = np.asarray(fft_conv_matmul(u, k, bias, n))
+    np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max(), rtol=1e-3)
