@@ -191,7 +191,12 @@ class HyenaOperator(nn.Module):
         # k_cached: the implicit filter is a function of (params, L) only —
         # at inference the engine precomputes it once per length bucket and
         # passes it in, skipping the filter MLP in every batch forward
-        # (PredictEngine.cache_filters).
+        # (PredictEngine.cache_filters).  A (k, spectra) tuple additionally
+        # carries per-order filter block spectra for the pallas block
+        # kernel (PredictEngine caches those per bucket too).
+        k_spec = None
+        if isinstance(k_cached, (tuple, list)):
+            k_cached, k_spec = k_cached
         k = k_cached if k_cached is not None else self.filter_fn.filter(L)
         k = k.reshape(L, order - 1, D).transpose(1, 2, 0)  # (order-1, D, L)
         bias = self.filter_fn.bias.reshape(order - 1, D)
@@ -199,7 +204,8 @@ class HyenaOperator(nn.Module):
         for o, x_i in enumerate(reversed(x[1:])):
             v = v * x_i
             v = fft_conv(v, k[o], bias[o], pow2=cfg.fft_pow2, method=cfg.fft_method,
-                         sp_axis=cfg.sp_axis)
+                         sp_axis=cfg.sp_axis,
+                         k_spec=None if k_spec is None else k_spec[o])
         y = v * x[0]
         y = jnp.swapaxes(y, 1, 2)  # (B, L, D)
         return self.out_proj(y)

@@ -38,6 +38,7 @@ def fft_conv(
     pow2: bool = True,
     method: str = "auto",
     sp_axis: str | None = None,
+    k_spec: tuple | None = None,
 ) -> jnp.ndarray:
     """Causal linear convolution ``y[t] = sum_s k[s] * u[t-s] + bias * u[t]``.
 
@@ -50,6 +51,10 @@ def fft_conv(
             (fused VMEM-resident DFT-conv kernel), or "auto" (pallas on TPU
             with einsum fallback — the fused kernel measured 136 vs 100
             reads/s end-to-end; the native TPU FFT measured ~8x off pace).
+        k_spec: precomputed filter block spectra
+            (``pallas_dft.block_spectra_for_length``) — inference-only fast
+            path: skips the filter DFTs inside the jitted forward.  Ignored
+            off the pallas block route; do not differentiate through it.
 
     Returns:
         (..., D, L) in ``u.dtype``.
@@ -97,6 +102,15 @@ def fft_conv(
             or supported_oa(fft_size, D, L, B)
             or (L >= _MIN_BLOCK_L and supported_block(D, L))
         ):
+            if k_spec is not None:
+                # cached-spectra inference path: bypasses the custom-VJP
+                # wrapper (grads are never taken at inference; training
+                # passes no cache)
+                from chimeralm_tpu.ops.pallas_dft import _pallas_forward
+
+                u3 = u[None] if u.ndim == 2 else u
+                out = _pallas_forward(u3, k, bias, fft_size, kspec=k_spec)
+                return (out[0] if u.ndim == 2 else out).astype(u.dtype)
             if u.ndim == 2:
                 return fft_conv_pallas(u[None], k, bias, fft_size)[0].astype(u.dtype)
             return fft_conv_pallas(u, k, bias, fft_size).astype(u.dtype)

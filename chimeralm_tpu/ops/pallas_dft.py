@@ -507,11 +507,17 @@ def block_filter_spectra(k: jnp.ndarray, h: int) -> tuple[jnp.ndarray, jnp.ndarr
     return kr, ki
 
 
-def dft_conv_pallas_block(u, k, bias, h: int | None = None, interpret: bool = False):
+def dft_conv_pallas_block(u, k, bias, h: int | None = None, interpret: bool = False,
+                          kspec: tuple | None = None):
     """Causal linear conv via the m-block fused kernel (see the kernel doc).
 
     u: (B, D, L) with L = m*h; k: (D, L) float32; bias: (D,).  Same output
     contract as ``fft_conv_matmul(u, k, bias, next_pow2(2L))``.
+
+    ``kspec``: precomputed ``block_filter_spectra(k, h)`` — at inference the
+    filter is frozen per length bucket, so the engine computes the spectra
+    once per bucket and passes them in, removing the m*D filter DFTs from
+    every batch forward (~1/B of the conv's transform work).
     """
     B, D, L = u.shape
     h = h or BLOCK_H or _choose_block_h(D, L, interpret)
@@ -523,7 +529,12 @@ def dft_conv_pallas_block(u, k, bias, h: int | None = None, interpret: bool = Fa
     if bc is None:
         raise ValueError(f"dft_conv_pallas_block: no VMEM-fitting bc for n={n}, m={m}")
     _n1, _n2, *consts = _constants(n)
-    kr, ki = block_filter_spectra(k, h)
+    kr, ki = kspec if kspec is not None else block_filter_spectra(k, h)
+    if kr.shape != (m, D, n1, n2):
+        raise ValueError(
+            f"dft_conv_pallas_block: kspec shape {kr.shape} != {(m, D, n1, n2)} "
+            "(filter-spectra cache computed for a different geometry)"
+        )
 
     kernel = functools.partial(
         _dft_conv_block_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L, m=m
@@ -952,16 +963,30 @@ _BLOCK_ENABLED = os.environ.get("CHIMERALM_BLOCK_CONV", "1") != "0"
 _MIN_BLOCK_L = 12288
 
 
-def _pallas_forward(u, k, bias, fft_size):
+def _pallas_forward(u, k, bias, fft_size, kspec=None):
     B, D, L = u.shape
     # the m-block kernel shares forward DFTs across all sub-convs and runs
     # at the cheapest-per-transform block fft — measured faster than both
     # the direct real kernel (16k bucket) and the 3-call overlap-add (32k)
     if _BLOCK_ENABLED and L >= _MIN_BLOCK_L and supported_block(D, L):
-        return dft_conv_pallas_block(u, k, bias)
+        return dft_conv_pallas_block(u, k, bias, kspec=kspec)
     if supported(fft_size, D, L, B):
         return dft_conv_pallas(u, k, bias, fft_size)
     return dft_conv_pallas_oa(u, k, bias, fft_size)
+
+
+def block_spectra_for_length(k: jnp.ndarray, L: int) -> tuple | None:
+    """Filter block spectra for the geometry ``_pallas_forward`` will choose.
+
+    (kr, ki) matching ``dft_conv_pallas_block``'s auto-selected h for
+    (D, L) on this backend, or None when the block kernel won't be used —
+    the inference engine caches this per length bucket
+    (``PredictEngine._bucket_filter_cache``)."""
+    D = k.shape[0]
+    if not (_BLOCK_ENABLED and L >= _MIN_BLOCK_L and supported_block(D, L)):
+        return None
+    h = BLOCK_H or _choose_block_h(D, L)
+    return block_filter_spectra(k, h)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

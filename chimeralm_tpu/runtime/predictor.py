@@ -48,12 +48,21 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 
+#: finer length grid (~1.3x steps): cuts pow2 bucketing's padded-token
+#: overhead from ~22% to ~9% on the reference read-length mix.  Every added
+#: bucket still rides a fused pallas kernel on TPU: 3072/6144 hit the
+#: direct kernels at the next power-of-two fft (n >= 2L), 12288/24576 the
+#: m-block kernel.  Costs 5 extra compiles (one per bucket).
+FINE_BUCKETS = (512, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768)
+
 
 @dataclasses.dataclass
 class PredictConfig:
     batch_size: int = 12
     mode: str = "fast"  # "fast" | "parity"
-    buckets: tuple[int, ...] = DEFAULT_BUCKETS
+    # fine grid is the production default: 205.9 vs 187.0 reads/s measured
+    # on the bench mix (masked pooling makes labels bucket-invariant)
+    buckets: tuple[int, ...] = FINE_BUCKETS
     dtype: str = "float32"  # "float32" | "bfloat16"
     max_length: int | None = None  # defaults to tokenizer.max_len_single_sentence
     pad_batch: bool = True  # pad final partial batches to full size (fast mode)
@@ -180,9 +189,34 @@ class PredictEngine:
             return None
         cache = self._filter_cache.get(L)
         if cache is None:
-            cache = self._filter_fn(self.params, L)
+            cache = tuple(
+                self._augment_with_block_spectra(k_layer, L)
+                for k_layer in self._filter_fn(self.params, L)
+            )
             self._filter_cache[L] = cache
         return cache
+
+    def _augment_with_block_spectra(self, k_time, L: int):
+        """Attach per-order filter block spectra for the pallas block kernel.
+
+        The spectra are a pure function of (filter, bucket) — computing them
+        here (once per bucket) removes the m*D filter DFTs from every batch
+        forward on the block-kernel route.  Returns ``k_time`` unchanged on
+        backends/shapes the block kernel doesn't cover.
+        """
+        cfg = getattr(self.model, "config", None)
+        if cfg is None or jax.default_backend() != "tpu":
+            return k_time
+        if getattr(cfg, "fft_method", None) not in ("auto", "pallas"):
+            return k_time
+        from chimeralm_tpu.ops.pallas_dft import block_spectra_for_length
+
+        order, D = cfg.hyena_order, cfg.d_model
+        k = k_time.reshape(L, order - 1, D).transpose(1, 2, 0)  # (order-1, D, L)
+        specs = tuple(block_spectra_for_length(k[o], L) for o in range(order - 1))
+        if any(s is None for s in specs):
+            return k_time
+        return (k_time, specs)
 
     # -- tokenization ------------------------------------------------------
     def _max_length(self) -> int:
@@ -231,6 +265,8 @@ class PredictEngine:
             return cfg.batch_size
         rows = max(1, cfg.tokens_per_batch // bucket)
         rows = min(rows, cfg.max_rows)
+        if rows > 1 and rows % 2:
+            rows -= 1  # even rows keep the batch-pair DFT kernel eligible
         rows += pad_batch_to_multiple(rows, self._n_dp)
         return rows
 

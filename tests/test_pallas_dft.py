@@ -328,3 +328,48 @@ def test_direct_kernels_generalize_below_half_fft(L, n):
     out = np.asarray(dft_conv_pallas(u, k, bias, n, interpret=True))
     ref = np.asarray(fft_conv_matmul(u, k, bias, n))
     np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max(), rtol=1e-3)
+
+
+def test_block_kernel_precomputed_spectra_match():
+    """kspec= (the engine's per-bucket cache) == in-call spectra."""
+    from chimeralm_tpu.ops.pallas_dft import block_filter_spectra, dft_conv_pallas_block
+
+    rng = np.random.default_rng(51)
+    B, D, h, m = 2, 4, 1024, 3
+    L = m * h
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    base = np.asarray(dft_conv_pallas_block(u, k, bias, h=h, interpret=True))
+    spec = block_filter_spectra(k, h)
+    out = np.asarray(dft_conv_pallas_block(u, k, bias, h=h, interpret=True, kspec=spec))
+    np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
+
+
+def test_mixer_accepts_spectra_tuple_cache():
+    """(k_time, spectra) filter-cache entries ride through the forward.
+
+    On the CPU/xla conv route the spectra are ignored, so logits must be
+    identical to the plain k_time cache — this pins the unpack plumbing
+    (HyenaOperator.__call__) independently of the pallas kernel.
+    """
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+
+    cfg = tiny_config()
+    model = HyenaDnaClassifier(cfg)
+    rng = np.random.default_rng(52)
+    ids = jnp.asarray(rng.integers(0, 11, size=(2, 128)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    cache = model.apply({"params": params}, 128, method="filters")
+    base = model.apply({"params": params}, ids, attention_mask=mask,
+                       deterministic=True, filter_cache=cache)
+    order, D = cfg.hyena_order, cfg.d_model
+    fake_specs = tuple(
+        (k.reshape(128, order - 1, D).transpose(1, 2, 0), None)  # ignored off-route
+        for k in cache
+    )
+    wrapped = tuple((k, (s,)) for k, (s, _unused) in zip(cache, fake_specs))
+    out = model.apply({"params": params}, ids, attention_mask=mask,
+                      deterministic=True, filter_cache=wrapped)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
