@@ -182,11 +182,6 @@ class HyenaOperator(nn.Module):
 
         u = self.in_proj(u)  # (B, L, (order+1)*D)
         u = jnp.swapaxes(u, 1, 2)  # (B, C, L)
-        uc = short_depthwise_conv(u, self.short_filter_weight, self.short_filter_bias,
-                                  axis_name=cfg.sp_axis)
-
-        pieces = [uc[:, i * D : (i + 1) * D] for i in range(order + 1)]
-        *x, v = pieces
 
         # k_cached: the implicit filter is a function of (params, L) only —
         # at inference the engine precomputes it once per length bucket and
@@ -197,6 +192,32 @@ class HyenaOperator(nn.Module):
         k_spec = None
         if isinstance(k_cached, (tuple, list)):
             k_cached, k_spec = k_cached
+
+        # fused inference mixer: short conv + gating + m-block long conv in
+        # ONE pallas kernel on the RAW projections (cached filter spectra
+        # required); the XLA-level short conv alone measured ~19 ms per
+        # 262k-token batch
+        if (
+            k_spec is not None
+            and order == 2
+            and cfg.sp_axis is None
+            and cfg.fft_method in ("auto", "pallas")
+        ):
+            from chimeralm_tpu.ops.pallas_dft import mixer_conv_fused, mixer_fused_available
+
+            if mixer_fused_available(D, L):
+                y = mixer_conv_fused(
+                    u, self.short_filter_weight, self.short_filter_bias,
+                    self.filter_fn.bias, k_spec[0],
+                )
+                return self.out_proj(jnp.swapaxes(y, 1, 2))
+
+        uc = short_depthwise_conv(u, self.short_filter_weight, self.short_filter_bias,
+                                  axis_name=cfg.sp_axis)
+
+        pieces = [uc[:, i * D : (i + 1) * D] for i in range(order + 1)]
+        *x, v = pieces
+
         k = k_cached if k_cached is not None else self.filter_fn.filter(L)
         k = k.reshape(L, order - 1, D).transpose(1, 2, 0)  # (order-1, D, L)
         bias = self.filter_fn.bias.reshape(order - 1, D)

@@ -420,6 +420,172 @@ def _dft_conv_block_kernel(
         y_prev = yi
 
 
+def _short_conv_vmem(x, wb, L: int):
+    """Causal W-tap depthwise conv of a (bc, L) VMEM block.
+
+    wb: (bc, W+1) — taps w[0..W-1] plus the channel bias in the last
+    column (packed to halve the kernel's input-ref count).
+    """
+    w = wb.shape[1] - 1
+    xpad = jnp.pad(x, ((0, 0), (w - 1, 0)))
+    out = wb[:, w - 1 : w] * x + wb[:, w : w + 1]
+    for s in range(w - 1):
+        out = out + wb[:, s : s + 1] * xpad[:, s : s + L]
+    return out
+
+
+def _dft_conv_block_mixer_kernel(
+    x0_ref, x1_ref, v_ref, wb0_ref, wb1_ref, wbv_ref, kbias_ref,
+    kr_ref, ki_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
+    out_ref,
+    *, n: int, n1: int, n2: int, bc: int, L: int, m: int,
+):
+    """Whole order-2 Hyena mixer core fused around the m-block conv.
+
+    Per (channel-block, batch-row) grid cell: short depthwise conv of the
+    three projection groups (x0, x1, v) in VMEM, gate g = v_c * x1_c, the
+    m-block long conv of g (same structure as ``_dft_conv_block_kernel``),
+    filter-bias passthrough, and the output gate y_t * x0_c — everything
+    between ``in_proj`` and ``out_proj`` in one kernel.  The XLA-level
+    short conv alone measured ~19 ms per 262k-token batch (elementwise
+    passes over the (B, 3D, L) tensor); here it is VPU work on
+    VMEM-resident blocks.
+    """
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twTr, twTi = twTr_ref[...], twTi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+    h = n // 2
+
+    x1c = _short_conv_vmem(x1_ref[0].astype(jnp.float32), wb1_ref[...], L)
+    vc = _short_conv_vmem(v_ref[0].astype(jnp.float32), wbv_ref[...], L)
+    g = vc * x1c
+
+    us = []
+    for p in range(0, m - 1, 2):
+        b0 = jnp.pad(g[:, p * h : (p + 1) * h], ((0, 0), (0, n - h)))
+        b1 = jnp.pad(g[:, (p + 1) * h : (p + 2) * h], ((0, 0), (0, n - h)))
+        s0, s1 = _packed_fwd2(b0, b1, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+        us += [s0, s1]
+    if m % 2:
+        b = jnp.pad(g[:, (m - 1) * h :], ((0, 0), (0, n - h))).reshape(bc, n1, n2)
+        us.append(_fwd_dft(b, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc))
+
+    def spectrum_pair(t):
+        wr = wi = None
+        for t_ in (t, t + 1):
+            if t_ >= m:
+                break
+            imag = t_ != t
+            for i in range(t_ + 1):
+                ur, ui = us[i]
+                kr = kr_ref[t_ - i]
+                ki = ki_ref[t_ - i]
+                pr = ur * kr - ui * ki
+                pi = ur * ki + ui * kr
+                ar, ai = (-pi, pr) if imag else (pr, pi)
+                wr = ar if wr is None else wr + ar
+                wi = ai if wi is None else wi + ai
+        return wr, wi
+
+    x0c = _short_conv_vmem(x0_ref[0].astype(jnp.float32), wb0_ref[...], L)
+    kbias = kbias_ref[...]
+
+    def store(t, y_t, y_prev):
+        y = y_t[:, :h]
+        if y_prev is not None:
+            y = y + y_prev[:, h:]
+        y = y + g[:, t * h : (t + 1) * h] * kbias
+        y = y * x0c[:, t * h : (t + 1) * h]
+        out_ref[0, :, t * h : (t + 1) * h] = y.astype(out_ref.dtype)
+
+    y_prev = None
+    for t in range(0, m, 2):
+        wr, wi = spectrum_pair(t)
+        yr, yi = _cidft(wr, wi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+        store(t, yr, y_prev)
+        if t + 1 < m:
+            store(t + 1, yi, yr)
+        y_prev = yi
+
+
+def mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
+                     h: int | None = None, interpret: bool = False):
+    """Fused order-2 Hyena mixer core: (B, 3D, L) projections -> (B, D, L).
+
+    uc3: ``in_proj`` output in channel-major layout, groups [x0, x1, v]
+    (RAW — the short conv runs inside the kernel).  short_weight: (3D, 1, W)
+    torch-layout depthwise taps; short_bias: (3D,); filter_bias: (D,) the
+    Hyena filter passthrough gain; kspec: ``block_filter_spectra`` of the
+    implicit filter (cached per bucket by the engine).
+
+    Computes y = shortconv(x0) * conv(shortconv(v) * shortconv(x1), k)
+    with the m-block DFT conv; equals the unfused
+    short_depthwise_conv -> gate -> fft_conv -> gate composition.
+    """
+    B, C3, L = uc3.shape
+    D = C3 // 3
+    h = h or BLOCK_H or _choose_block_h(D, L, interpret)
+    g = _block_geometry(L, h, interpret)
+    if g is None:
+        raise ValueError(f"mixer_conv_fused: L={L} has no block geometry at h={h}")
+    m, n, n1, n2 = g
+    bc = _pick_bc_block(n, D, m, interpret)
+    if bc is None:
+        raise ValueError(f"mixer_conv_fused: no VMEM-fitting bc for n={n}, m={m}")
+    _n1, _n2, *consts = _constants(n)
+    kr, ki = kspec
+    if kr.shape != (m, D, n1, n2):
+        raise ValueError(f"mixer_conv_fused: kspec shape {kr.shape} != {(m, D, n1, n2)}")
+
+    w = short_weight.shape[-1]
+    # pack taps + bias per channel group: (3, D, W+1)
+    wb = jnp.concatenate(
+        [short_weight[:, 0, :], short_bias[:, None]], axis=-1
+    ).astype(jnp.float32).reshape(3, D, w + 1)
+
+    kernel = functools.partial(
+        _dft_conv_block_mixer_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L, m=m
+    )
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda c, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    nb = D // bc  # channel blocks per group
+    group_spec = lambda gi: pl.BlockSpec(  # noqa: E731
+        (1, bc, L), lambda c, b, gi=gi: (b, gi * nb + c, 0), memory_space=pltpu.VMEM
+    )
+    wb_spec = pl.BlockSpec((bc, w + 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM)
+    kspec_spec = pl.BlockSpec((m, bc, n1, n2), lambda c, b: (0, c, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, D, L), uc3.dtype),
+        grid=(nb, B),
+        in_specs=[
+            group_spec(0), group_spec(1), group_spec(2),
+            wb_spec, wb_spec, wb_spec,
+            pl.BlockSpec((bc, 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
+            kspec_spec, kspec_spec,
+            const_spec((n1, n1)), const_spec((n1, n1)),
+            const_spec((n2, n1)), const_spec((n2, n1)),
+            const_spec((n2, n2)), const_spec((n2, n2)),
+        ],
+        out_specs=pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        **({"interpret": True} if interpret else {}),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=_PASSES.get(_PREC, 3) * 8 * (n1 + n2) * ((m + 1) // 2) * 2 * B * D * n // m,
+            bytes_accessed=(4 * B * D * L + 2 * D * L) * 4,
+            transcendentals=0,
+        ),
+    )(
+        # uc3 passed once per channel group — each spec windows its group
+        uc3, uc3, uc3, wb[0], wb[1], wb[2],
+        filter_bias.astype(jnp.float32).reshape(D, 1),
+        kr, ki,
+        *(jnp.asarray(c) for c in consts),
+    )
+    return out
+
+
 #: candidate block sizes of the m-block kernel, largest first.  h = 8192
 #: (block fft n = 16384 = 128 x 128) is the cheapest-per-transform geometry
 #: on TPU (the pair kernel's sweet spot) but only fits scoped VMEM up to
@@ -975,6 +1141,22 @@ def _pallas_forward(u, k, bias, fft_size, kspec=None):
     return dft_conv_pallas_oa(u, k, bias, fft_size)
 
 
+#: fused-mixer floor: at L = 8192 the bare block conv loses to the direct
+#: pair kernel (9.2 vs 6.1 ms), but folding the short conv + gating into
+#: the kernel still nets out ahead (9.3 vs ~11.5 ms unfused total)
+_MIN_FUSED_L = 8192
+
+
+def mixer_fused_available(D: int, L: int) -> bool:
+    """True when ``mixer_conv_fused`` covers (D, L) on this backend."""
+    return (
+        _BLOCK_ENABLED
+        and jax.default_backend() == "tpu"
+        and L >= _MIN_FUSED_L
+        and supported_block(D, L)
+    )
+
+
 def block_spectra_for_length(k: jnp.ndarray, L: int) -> tuple | None:
     """Filter block spectra for the geometry ``_pallas_forward`` will choose.
 
@@ -983,7 +1165,7 @@ def block_spectra_for_length(k: jnp.ndarray, L: int) -> tuple | None:
     the inference engine caches this per length bucket
     (``PredictEngine._bucket_filter_cache``)."""
     D = k.shape[0]
-    if not (_BLOCK_ENABLED and L >= _MIN_BLOCK_L and supported_block(D, L)):
+    if not (_BLOCK_ENABLED and L >= _MIN_FUSED_L and supported_block(D, L)):
         return None
     h = BLOCK_H or _choose_block_h(D, L)
     return block_filter_spectra(k, h)
