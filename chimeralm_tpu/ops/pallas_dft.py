@@ -1171,10 +1171,295 @@ def block_spectra_for_length(k: jnp.ndarray, L: int) -> tuple | None:
     return block_filter_spectra(k, h)
 
 
+# ---- training backward: fused correlation kernels --------------------------
+#
+# VJP math for y = causal_conv(u, k) + bias * u, cotangent g (B, D, L):
+#
+#   du[b,d,t] = sum_{s>=t} k[d,s-t] g[b,d,s] + bias[d] g[b,d,t]
+#             = flip_L( causal_conv(flip_L(g), k) + bias * flip_L(g) )
+#     -- EXACTLY the forward op on time-reversed g, so du rides the same
+#        fused kernels (direct / overlap-add / m-block) untouched.
+#
+#   dk[d,s]   = sum_b sum_t u[b,d,t] g[b,d,t+s]        (s in [0, L))
+#     -- a batch-summed causal cross-correlation; by the correlation
+#        theorem its zero-padded circular form is ifft(conj(U) * G)[0:L]
+#        (n >= 2L kills wrap-around: lags live in (-L, L)).  The kernels
+#        below fuse both forward DFTs (u and g packed into ONE complex
+#        transform via ``_packed_fwd2``), the conjugate product, and the
+#        inverse in VMEM, accumulating over the batch grid dimension.
+#
+#   dbias[d]  = sum_b sum_t u[b,d,t] g[b,d,t]          (one XLA pass)
+
+
+def _cidft_real(pr, pi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc):
+    """Scrambled spectrum -> real part of the unnormalized inverse (bc, n).
+
+    ``_cidft`` minus the imaginary output's two stage-B dots — for a lone
+    real-signal spectrum there is nothing to pack into the imag slot."""
+    pr2 = pr.reshape(bc * n1, n2)
+    pi2 = pi.reshape(bc * n1, n2)
+    qr = (_dot(pr2, f2r) + _dot(pi2, f2i)).reshape(bc, n1, n2)
+    qi = (_dot(pi2, f2r) - _dot(pr2, f2i)).reshape(bc, n1, n2)
+    tbr = jnp.swapaxes(twTr, 0, 1)[None]
+    tbi = -jnp.swapaxes(twTi, 0, 1)[None]
+    rr = qr * tbr - qi * tbi
+    ri = qr * tbi + qi * tbr
+    rr2 = jnp.swapaxes(rr, 1, 2).reshape(bc * n2, n1)
+    ri2 = jnp.swapaxes(ri, 1, 2).reshape(bc * n2, n1)
+    yr = (_dot(rr2, f1r) + _dot(ri2, f1i)).reshape(bc, n2, n1)
+    return jnp.swapaxes(yr, 1, 2).reshape(bc, n1 * n2)
+
+
+def _dft_corr_kernel(
+    u_ref, g_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
+    out_ref,
+    *, n: int, n1: int, n2: int, bc: int, L: int,
+):
+    """Batch-summed causal correlation: out[c] += ifft(conj(U) * G)[0:L]/n.
+
+    Grid (D/bc, B) with the out block a function of c only — the TPU grid
+    runs b innermost, so the block stays VMEM-resident across the batch
+    loop (init at b == 0, accumulate after)."""
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twTr, twTi = twTr_ref[...], twTi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+
+    u = u_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    ub = jnp.pad(u, ((0, 0), (0, n - L)))
+    gb = jnp.pad(g, ((0, 0), (0, n - L)))
+    (ur, ui), (gr, gi) = _packed_fwd2(ub, gb, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+
+    # P = conj(U) * G (spectrum of a real signal: the circular correlation)
+    pr = ur * gr + ui * gi
+    pi = ur * gi - ui * gr
+    y = _cidft_real(pr, pi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+    y = y[:, :L] * (1.0 / n)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += y
+
+
+def _dft_corr_block_kernel(
+    u_ref, g_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
+    out_ref,
+    *, n: int, n1: int, n2: int, bc: int, L: int, m: int,
+):
+    """m-block batch-summed correlation at block fft size n = 2h.
+
+    Block pair (i, j) contributes at lags s = (j-i)h + lam, lam in (-h, h):
+      C_t = sum_i conj(U_i) * G_{i+t}   (t = j - i = 0..m-1)
+      dk block t = head(inv C_t) + tail(inv C_{t+1})
+    (tail = the negative-lag half of the NEXT offset — the forward block
+    conv's mirror image, where tail comes from the PREVIOUS offset).  All
+    2m forward block DFTs are packed two-real-per-complex; C_t/C_{t+1}
+    pairs share one complex inverse."""
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twTr, twTi = twTr_ref[...], twTi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+    h = n // 2
+
+    def blocks(ref):
+        def blk(t):
+            b = ref[0, :, t * h : (t + 1) * h].astype(jnp.float32)
+            return jnp.pad(b, ((0, 0), (0, n - h)))
+
+        specs = []
+        for p in range(0, m - 1, 2):
+            s0, s1 = _packed_fwd2(
+                blk(p), blk(p + 1), f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc
+            )
+            specs += [s0, s1]
+        if m % 2:
+            b3 = blk(m - 1).reshape(bc, n1, n2)
+            specs.append(_fwd_dft(b3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc))
+        return specs
+
+    us = blocks(u_ref)
+    gs = blocks(g_ref)
+
+    def corr_pair(t):
+        """W = C_t + i*C_{t+1}, C_t = sum_i conj(U_i) * G_{i+t}."""
+        wr = wi = None
+        for t_ in (t, t + 1):
+            if t_ >= m:
+                break
+            imag = t_ != t
+            for i in range(m - t_):
+                ur, ui = us[i]
+                gr, gi = gs[i + t_]
+                pr = ur * gr + ui * gi
+                pi = ur * gi - ui * gr
+                ar, ai = (-pi, pr) if imag else (pr, pi)
+                wr = ar if wr is None else wr + ar
+                wi = ai if wi is None else wi + ai
+        return wr, wi
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # block t needs inv C_{t+1} (forward dependency): store block t from the
+    # current pair, hold the pair's imag inverse for block t+1's head
+    pending = None  # inv C_{t} awaiting the next pair's tail
+    for t in range(0, m, 2):
+        wr, wi = corr_pair(t)
+        yr, yi = _cidft(wr, wi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+        if pending is not None:
+            out_ref[:, (t - 1) * h : t * h] += (pending[:, :h] + yr[:, h:]) * (1.0 / n)
+        if t + 1 < m:
+            out_ref[:, t * h : (t + 1) * h] += (yr[:, :h] + yi[:, h:]) * (1.0 / n)
+            pending = yi
+        else:  # m odd: C_{m} = 0, no tail
+            out_ref[:, t * h : (t + 1) * h] += yr[:, :h] * (1.0 / n)
+            pending = None
+    if pending is not None:  # m even: last block's tail is C_m = 0
+        out_ref[:, (m - 1) * h :] += pending[:, :h] * (1.0 / n)
+
+
+#: live-VMEM coefficient of the direct correlation kernel, in (bc, n) f32
+#: units: u/g pads (2) + packed-fwd stage products (4) + U/G (4) + P (2) +
+#: inverse intermediates (~6), with allocator padding headroom
+_VMEM_LIVE["corr"] = 18.0
+
+
+def _corr_geometry(D: int, L: int, B: int, interpret: bool = False):
+    """Routing for ``dft_corr_pallas``: ("direct", n, bc) | ("block", h, bc) | None."""
+    n = 2 * L
+    if not interpret and jax.default_backend() == "tpu":
+        n1, n2 = _factor(n)
+        direct_legal = n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0
+    else:
+        direct_legal = True
+    if L < _MIN_BLOCK_L and direct_legal:
+        bc = _pick_bc(n, D, interpret, "corr")
+        if bc is not None:
+            return ("direct", n, bc)
+    h = _choose_block_h(D, L, interpret)
+    if h is not None:
+        m, nb, _n1, _n2 = _block_geometry(L, h, interpret)
+        bc = _pick_bc_block(nb, D, m, interpret)
+        if bc is not None:
+            return ("block", h, bc)
+    if direct_legal:
+        bc = _pick_bc(n, D, interpret, "corr")
+        if bc is not None:
+            return ("direct", n, bc)
+    return None
+
+
+def supported_corr(D: int, L: int, B: int, interpret: bool = False) -> bool:
+    return _corr_geometry(D, L, B, interpret) is not None
+
+
+def dft_corr_pallas(u, g, interpret: bool = False):
+    """Batch-summed causal correlation dk[d,s] = sum_{b,t} u[b,d,t] g[b,d,t+s].
+
+    u, g: (B, D, L); returns (D, L) float32 — the filter cotangent of the
+    causal conv.  Routes to the direct packed kernel (one complex DFT
+    carries both U and G) or the m-block variant (long L), mirroring the
+    forward routing."""
+    B, D, L = u.shape
+    route = _corr_geometry(D, L, B, interpret)
+    if route is None:
+        raise ValueError(f"dft_corr_pallas: no VMEM-fitting kernel for D={D}, L={L}")
+    kind, size, bc = route
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda c, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    if kind == "direct":
+        n = size
+        n1, n2, *consts = _constants(n)
+        kernel = functools.partial(_dft_corr_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L)
+        # 14 stage dots (8 packed-fwd + 6 real inverse) vs the pair kernel's 8
+        flops = 7 * (n1 + n2) * B * D * n
+        vmem_kw = {}
+    else:
+        h = size
+        m, n, n1, n2 = _block_geometry(L, h, interpret)
+        _n1, _n2, *consts = _constants(n)
+        kernel = functools.partial(
+            _dft_corr_block_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L, m=m
+        )
+        # 2 * ceil(m/2) packed fwd + ceil(m/2) packed inverse, 8 dots each
+        flops = _PASSES.get(_PREC, 3) * 12 * (n1 + n2) * ((m + 1) // 2) * B * D * n // m
+        vmem_kw = {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)}
+
+    io_spec = pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((D, L), jnp.float32),
+        grid=(D // bc, B),
+        in_specs=[
+            io_spec, io_spec,
+            const_spec((n1, n1)), const_spec((n1, n1)),
+            const_spec((n2, n1)), const_spec((n2, n1)),
+            const_spec((n2, n2)), const_spec((n2, n2)),
+        ],
+        out_specs=pl.BlockSpec((bc, L), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
+        **({"interpret": True} if interpret else {}),
+        **vmem_kw,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(2 * B * D * L + D * L) * 4,
+            transcendentals=0,
+        ),
+    )(u, g, *(jnp.asarray(c) for c in consts))
+    return out
+
+
+#: kill switch for the fused training backward (CHIMERALM_PALLAS_BWD=0
+#: restores the einsum-path autodiff backward)
+_BWD_ENABLED = os.environ.get("CHIMERALM_PALLAS_BWD", "1") != "0"
+
+
+def bwd_pallas_supported(fft_size: int, D: int, L: int, B: int) -> bool:
+    """True when BOTH backward legs ride fused kernels on this backend.
+
+    du reuses the forward routing (flip identity); dk needs a correlation
+    geometry.  Anything unsupported falls back to the einsum-path autodiff."""
+    if not _BWD_ENABLED or jax.default_backend() != "tpu":
+        return False
+    du_ok = (
+        supported(fft_size, D, L, B)
+        or supported_oa(fft_size, D, L, B)
+        or (_BLOCK_ENABLED and L >= _MIN_BLOCK_L and supported_block(D, L))
+    )
+    return du_ok and supported_corr(D, L, B)
+
+
+def conv_bwd_pallas(u, k, bias, g, fft_size, interpret: bool = False):
+    """Fused-kernel VJP of ``fft_conv_pallas``: (du, dk, dbias).
+
+    du = flip(forward(flip(g), k, bias)) — the forward op verbatim on
+    time-reversed cotangents; dk = the batch-summed correlation kernel;
+    dbias = one fused elementwise reduction."""
+    gf = jnp.flip(g, axis=-1)
+    if interpret:
+        B, D, L = u.shape
+        if supported(fft_size, D, L, B):
+            du_r = dft_conv_pallas(gf, k, bias, fft_size, interpret=True)
+        else:
+            du_r = dft_conv_pallas_block(gf, k, bias, interpret=True)
+        dk = dft_corr_pallas(u, g, interpret=True)
+    else:
+        du_r = _pallas_forward(gf, k, bias, fft_size)
+        dk = dft_corr_pallas(u, g)
+    du = jnp.flip(du_r, axis=-1).astype(u.dtype)
+    g32 = g.astype(jnp.float32)
+    u32 = u.astype(jnp.float32)
+    dbias = jnp.einsum("bdl,bdl->d", g32, u32)
+    return du, dk.astype(k.dtype), dbias.astype(bias.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fft_conv_pallas(u, k, bias, fft_size):
-    """Differentiable wrapper: Pallas forward (direct or overlap-add),
-    einsum-path autodiff backward."""
+    """Differentiable wrapper: Pallas forward (direct / overlap-add /
+    m-block); backward via fused kernels (``conv_bwd_pallas``) when the
+    geometry supports them, einsum-path autodiff otherwise."""
     return _pallas_forward(u, k, bias, fft_size)
 
 
@@ -1183,9 +1468,12 @@ def _fcp_fwd(u, k, bias, fft_size):
 
 
 def _fcp_bwd(fft_size, res, g):
+    u, k, bias = res
+    B, D, L = u.shape
+    if bwd_pallas_supported(fft_size, D, L, B):
+        return conv_bwd_pallas(u, k, bias, g, fft_size)
     from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
 
-    u, k, bias = res
     _, vjp = jax.vjp(lambda u_, k_, b_: fft_conv_matmul(u_, k_, b_, fft_size), u, k, bias)
     return vjp(g)
 

@@ -441,3 +441,144 @@ def test_model_forward_fused_mixer_matches_unfused(monkeypatch):
     assert fired, "fused mixer route did not execute"
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                atol=2e-3 * max(float(np.abs(np.asarray(base)).max()), 1.0), rtol=1e-3)
+
+
+# ---- training backward (fused correlation + flip-conv du) ------------------
+
+
+def _naive_corr(u, g):
+    """dk[d,s] = sum_b sum_t u[b,d,t] g[b,d,t+s] — O(L^2) ground truth."""
+    u = np.asarray(u, np.float64)
+    g = np.asarray(g, np.float64)
+    B, D, L = u.shape
+    out = np.zeros((D, L))
+    for s in range(L):
+        out[:, s] = (u[:, :, : L - s] * g[:, :, s:]).sum(axis=(0, 2))
+    return out
+
+
+@pytest.mark.parametrize("B", [1, 2, 3])
+def test_corr_kernel_matches_naive(B):
+    from chimeralm_tpu.ops.pallas_dft import dft_corr_pallas
+
+    rng = np.random.default_rng(11)
+    D, L = 4, 1024
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    ref = _naive_corr(u, g)
+    out = np.asarray(dft_corr_pallas(u, g, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-2 * np.abs(ref).max(), rtol=1e-3)
+
+
+@pytest.mark.parametrize("m", [2, 3, 4])
+def test_corr_block_kernel_matches_naive(m, monkeypatch):
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    h = 256
+    monkeypatch.setattr(pd, "_MIN_BLOCK_L", 0)
+    monkeypatch.setattr(pd, "BLOCK_HS", (h,))
+    rng = np.random.default_rng(13)
+    B, D, L = 2, 4, m * h
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    route = pd._corr_geometry(D, L, B, interpret=True)
+    assert route[0] == "block", route
+    ref = _naive_corr(u, g)
+    out = np.asarray(pd.dft_corr_pallas(u, g, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-2 * np.abs(ref).max(), rtol=1e-3)
+
+
+@pytest.mark.parametrize("B", [2, 3])
+def test_conv_bwd_pallas_matches_einsum_vjp(B):
+    """(du, dk, dbias) from the fused backward == einsum-path autodiff."""
+    from chimeralm_tpu.ops.pallas_dft import conv_bwd_pallas
+
+    rng = np.random.default_rng(17)
+    D, L = 4, 4096
+    n = 2 * L
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda u_, k_, b_: fft_conv_matmul(u_, k_, b_, n), u, k, bias)
+    ref = vjp(g)
+    out = conv_bwd_pallas(u, k, bias, g, n, interpret=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=2e-3 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3,
+        )
+
+
+def test_conv_bwd_pallas_block_route_matches_einsum_vjp(monkeypatch):
+    """The m-block backward legs (du via block conv, dk via block corr)."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    h = 256
+    monkeypatch.setattr(pd, "_MIN_BLOCK_L", 0)
+    monkeypatch.setattr(pd, "BLOCK_HS", (h,))
+    monkeypatch.setattr(pd, "BLOCK_H", h)
+    rng = np.random.default_rng(19)
+    B, D, L = 2, 4, 4 * h
+    n = 2 * L
+    u = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda u_, k_, b_: fft_conv_matmul(u_, k_, b_, n), u, k, bias)
+    ref = vjp(g)
+    out = pd.conv_bwd_pallas(u, k, bias, g, n, interpret=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=2e-3 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3,
+        )
+
+
+def test_fft_conv_pallas_grads_via_fused_bwd():
+    """jax.grad through fft_conv_pallas with the fused backward forced on."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    u, k, bias = _data(B=2, D=4)
+    n = 2 * u.shape[-1]
+    cot = jnp.asarray(np.random.default_rng(23).normal(size=u.shape), jnp.float32)
+
+    def loss_pallas(u, k, bias):
+        return jnp.sum(fft_conv_pallas(u, k, bias, n) * cot)
+
+    def loss_ref(u, k, bias):
+        return jnp.sum(fft_conv_matmul(u, k, bias, n) * cot)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(u, k, bias)
+    orig = pd.bwd_pallas_supported
+    pd.bwd_pallas_supported = lambda *a: True
+    try:
+        with _interpret_pallas():
+            gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(u, k, bias)
+    finally:
+        pd.bwd_pallas_supported = orig
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=2e-3 * max(float(jnp.abs(b).max()), 1.0), rtol=1e-3,
+        )
+
+
+def test_bwd_routing_on_tpu_geometry(monkeypatch):
+    """Training shapes ride the fused backward on TPU; kill switch works."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # flagship training stages: L = 2048..32768 at D = 256
+    for L, B in ((2048, 64), (4096, 32), (8192, 16), (16384, 8), (32768, 4)):
+        n = 1
+        while n < 2 * L:
+            n <<= 1
+        assert pd.bwd_pallas_supported(n, 256, L, B) == pd.supported_corr(256, L, B), (L, B)
+    # the long stages must be covered
+    assert pd.bwd_pallas_supported(16384, 256, 8192, 16)
+    assert pd.bwd_pallas_supported(65536, 256, 32768, 4)
+    monkeypatch.setattr(pd, "_BWD_ENABLED", False)
+    assert not pd.bwd_pallas_supported(16384, 256, 8192, 16)
