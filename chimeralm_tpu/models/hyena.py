@@ -193,24 +193,46 @@ class HyenaOperator(nn.Module):
         if isinstance(k_cached, (tuple, list)):
             k_cached, k_spec = k_cached
 
-        # fused inference mixer: short conv + gating + m-block long conv in
-        # ONE pallas kernel on the RAW projections (cached filter spectra
+        # fused inference mixer: short conv + gating + long conv in ONE
+        # pallas kernel on the RAW projections (cached filter spectra
         # required); the XLA-level short conv alone measured ~19 ms per
-        # 262k-token batch
+        # 262k-token batch.  The cache format selects the route: 4-D block
+        # spectra -> m-block kernel (long buckets), 3-D direct spectra ->
+        # batch-pair kernel (small/mid buckets).
         if (
             k_spec is not None
             and order == 2
             and cfg.sp_axis is None
             and cfg.fft_method in ("auto", "pallas")
         ):
-            from chimeralm_tpu.ops.pallas_dft import mixer_conv_fused, mixer_fused_available
+            from chimeralm_tpu.ops.pallas_dft import (
+                mixer_conv_fused,
+                mixer_conv_fused_direct,
+                mixer_fused_available,
+                mixer_fused_direct_available,
+            )
 
-            if mixer_fused_available(D, L):
+            if k_spec[0][0].ndim == 4 and mixer_fused_available(D, L):
                 y = mixer_conv_fused(
                     u, self.short_filter_weight, self.short_filter_bias,
                     self.filter_fn.bias, k_spec[0],
                 )
                 return self.out_proj(jnp.swapaxes(y, 1, 2))
+            if k_spec[0][0].ndim == 3 and mixer_fused_direct_available(D, L, u.shape[0]):
+                n = 1
+                while n < 2 * L:
+                    n <<= 1
+                y = mixer_conv_fused_direct(
+                    u, self.short_filter_weight, self.short_filter_bias,
+                    self.filter_fn.bias, k_spec[0], n,
+                )
+                return self.out_proj(jnp.swapaxes(y, 1, 2))
+
+        # the unfused conv path only understands the block-spectra format
+        # (fft_conv feeds it to the m-block kernel); drop a direct-spectra
+        # cache here (e.g. an odd-row partial batch) and recompute normally
+        if k_spec is not None and k_spec[0][0].ndim != 4:
+            k_spec = None
 
         uc = short_depthwise_conv(u, self.short_filter_weight, self.short_filter_bias,
                                   axis_name=cfg.sp_axis)

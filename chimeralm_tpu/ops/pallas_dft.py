@@ -586,6 +586,155 @@ def mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
     return out
 
 
+def _dft_conv_pair_mixer_kernel(
+    x0_ref, x1_ref, v_ref, wb0_ref, wb1_ref, wbv_ref, kbias_ref,
+    kr_ref, ki_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
+    out_ref,
+    *, n: int, n1: int, n2: int, bc: int, L: int,
+):
+    """Order-2 Hyena mixer core fused around the batch-pair direct conv.
+
+    The direct-kernel counterpart of ``_dft_conv_block_mixer_kernel`` for
+    the small/mid length buckets (block floor is L = 8192): short
+    depthwise conv of the three projection groups, gate g = v_c * x1_c,
+    the TWO batch rows' gates packed into ONE complex DFT (conv is linear,
+    filter shared), pointwise product with the precomputed filter spectrum,
+    complex inverse (both rows come back as re/im), filter-bias
+    passthrough, output gate y * x0_c.  The XLA-level short conv + gating
+    this replaces measured ~19 ms per 262k-token batch.
+    """
+    f1r, f1i = f1r_ref[...], f1i_ref[...]
+    twTr, twTi = twTr_ref[...], twTi_ref[...]
+    f2r, f2i = f2r_ref[...], f2i_ref[...]
+
+    wb1 = wb1_ref[...]
+    wbv = wbv_ref[...]
+    g0 = (_short_conv_vmem(v_ref[0].astype(jnp.float32), wbv, L)
+          * _short_conv_vmem(x1_ref[0].astype(jnp.float32), wb1, L))
+    g1 = (_short_conv_vmem(v_ref[1].astype(jnp.float32), wbv, L)
+          * _short_conv_vmem(x1_ref[1].astype(jnp.float32), wb1, L))
+
+    xr = jnp.pad(g0, ((0, 0), (0, n - L))).reshape(bc, n1, n2)
+    xi = jnp.pad(g1, ((0, 0), (0, n - L))).reshape(bc, n1, n2)
+    zr, zi = _cdft(xr, xi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+
+    kr = kr_ref[...]
+    ki = ki_ref[...]
+    pr = zr * kr - zi * ki
+    pi = zr * ki + zi * kr
+
+    yr, yi = _cidft(pr, pi, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, bc)
+
+    wb0 = wb0_ref[...]
+    kbias = kbias_ref[...]
+    x0c0 = _short_conv_vmem(x0_ref[0].astype(jnp.float32), wb0, L)
+    x0c1 = _short_conv_vmem(x0_ref[1].astype(jnp.float32), wb0, L)
+    out_ref[0] = ((yr[:, :L] + g0 * kbias) * x0c0).astype(out_ref.dtype)
+    out_ref[1] = ((yi[:, :L] + g1 * kbias) * x0c1).astype(out_ref.dtype)
+
+
+def mixer_fused_direct_available(D: int, L: int, B: int, interpret: bool = False) -> bool:
+    """True when ``mixer_conv_fused_direct`` covers (D, L, B) on this backend.
+
+    Requires an even row count (two gates per complex DFT) and a legal
+    pair-kernel geometry at n = next-pow2(2L); the block-mixer route takes
+    over at L >= 8192 where its shared forward DFTs win."""
+    if B % 2:
+        return False
+    n = 1
+    while n < 2 * L:
+        n <<= 1
+    if not interpret and jax.default_backend() == "tpu":
+        n1, n2 = _factor(n)
+        if not (n1 >= 64 and n1 % 8 == 0 and n2 % 128 == 0):
+            return False
+    return _pick_bc(n, D, interpret, "pair_mixer") is not None
+
+
+def direct_filter_spectra(k: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scrambled spectrum of the (D, L) filter at fft size n, scaled 1/n.
+
+    Computed outside the kernel as XLA matmuls (once per length bucket at
+    inference — ``PredictEngine`` caches it like the block spectra)."""
+    D, L = k.shape
+    n1, n2, *consts = _constants(n)
+    f1r, f1i, twTr, twTi, f2r, f2i = (jnp.asarray(c) for c in consts)
+    k3 = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, n - L))).reshape(D, n1, n2)
+    kr, ki = _fwd_dft(k3, f1r, f1i, twTr, twTi, f2r, f2i, n1, n2, D)
+    return kr / n, ki / n
+
+
+def mixer_conv_fused_direct(uc3, short_weight, short_bias, filter_bias, kspec,
+                            fft_size: int, interpret: bool = False):
+    """Fused order-2 mixer core over the batch-pair direct conv kernel.
+
+    Same contract as ``mixer_conv_fused`` (uc3 = raw in_proj output in
+    channel-major [x0, x1, v] group layout -> (B, D, L)) for the buckets
+    below the block kernel's floor; ``kspec`` is
+    ``direct_filter_spectra(k, fft_size)``.  B must be even.
+    """
+    B, C3, L = uc3.shape
+    D = C3 // 3
+    n = fft_size
+    if B % 2:
+        raise ValueError(f"mixer_conv_fused_direct: B={B} must be even (pair packing)")
+    bc = _pick_bc(n, D, interpret, "pair_mixer")
+    if bc is None:
+        raise ValueError(f"mixer_conv_fused_direct: no VMEM-fitting bc for n={n}, D={D}")
+    n1, n2, *consts = _constants(n)
+    kr, ki = kspec
+    if kr.shape != (D, n1, n2):
+        raise ValueError(f"mixer_conv_fused_direct: kspec shape {kr.shape} != {(D, n1, n2)}")
+
+    w = short_weight.shape[-1]
+    wb = jnp.concatenate(
+        [short_weight[:, 0, :], short_bias[:, None]], axis=-1
+    ).astype(jnp.float32).reshape(3, D, w + 1)
+
+    kernel = functools.partial(
+        _dft_conv_pair_mixer_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L
+    )
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda c, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    nb = D // bc
+    group_spec = lambda gi: pl.BlockSpec(  # noqa: E731
+        (2, bc, L), lambda c, b, gi=gi: (b, gi * nb + c, 0), memory_space=pltpu.VMEM
+    )
+    wb_spec = pl.BlockSpec((bc, w + 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM)
+    kspec_spec = pl.BlockSpec((bc, n1, n2), lambda c, b: (c, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, D, L), uc3.dtype),
+        grid=(nb, B // 2),
+        in_specs=[
+            group_spec(0), group_spec(1), group_spec(2),
+            wb_spec, wb_spec, wb_spec,
+            pl.BlockSpec((bc, 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM),
+            kspec_spec, kspec_spec,
+            const_spec((n1, n1)), const_spec((n1, n1)),
+            const_spec((n2, n1)), const_spec((n2, n1)),
+            const_spec((n2, n2)), const_spec((n2, n2)),
+        ],
+        out_specs=pl.BlockSpec((2, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        **({"interpret": True} if interpret else {}),
+        # headroom above the 16M default (the live model sits near it at
+        # n = 16384); v5e has 128M VMEM/core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=_PASSES.get(_PREC, 3) * 8 * (n1 + n2) * B * D * n,
+            bytes_accessed=(4 * B * D * L + 2 * D * n) * 4,
+            transcendentals=0,
+        ),
+    )(
+        uc3, uc3, uc3, wb[0], wb[1], wb[2],
+        filter_bias.astype(jnp.float32).reshape(D, 1),
+        kr, ki,
+        *(jnp.asarray(c) for c in consts),
+    )
+    return out
+
+
 #: candidate block sizes of the m-block kernel, largest first.  h = 8192
 #: (block fft n = 16384 = 128 x 128) is the cheapest-per-transform geometry
 #: on TPU (the pair kernel's sweet spot) but only fits scoped VMEM up to
@@ -900,7 +1049,10 @@ def _dft_conv_half_kernel(
 #: live-VMEM model per kernel, in (bc, n) f32 buffer equivalents.  Measured:
 #: real 25.04M at bc=8/n=65536, pair 20.43M at bc=32/n=8192; half-kernel
 #: buffers are (bc, n/2) so its coefficient is naturally ~half the real one.
-_VMEM_LIVE = {"real": 12.5, "pair": 20.5, "half": 7.0}
+#: pair_mixer = the bare pair kernel plus the three short-conved f32 group
+#: copies and their pads; corr = u/g pads + packed-fwd products + U/G + P +
+#: inverse intermediates.
+_VMEM_LIVE = {"real": 12.5, "pair": 20.5, "half": 7.0, "pair_mixer": 27.0, "corr": 18.0}
 
 
 def _pick_bc(n: int, D: int, interpret: bool = False, kind: str = "real") -> int | None:
@@ -1318,12 +1470,6 @@ def _dft_corr_block_kernel(
             pending = None
     if pending is not None:  # m even: last block's tail is C_m = 0
         out_ref[:, (m - 1) * h :] += pending[:, :h] * (1.0 / n)
-
-
-#: live-VMEM coefficient of the direct correlation kernel, in (bc, n) f32
-#: units: u/g pads (2) + packed-fwd stage products (4) + U/G (4) + P (2) +
-#: inverse intermediates (~6), with allocator padding headroom
-_VMEM_LIVE["corr"] = 18.0
 
 
 def _corr_geometry(D: int, L: int, B: int, interpret: bool = False):

@@ -197,22 +197,34 @@ class PredictEngine:
         return cache
 
     def _augment_with_block_spectra(self, k_time, L: int):
-        """Attach per-order filter block spectra for the pallas block kernel.
+        """Attach per-order filter spectra for the fused mixer kernels.
 
         The spectra are a pure function of (filter, bucket) — computing them
-        here (once per bucket) removes the m*D filter DFTs from every batch
-        forward on the block-kernel route.  Returns ``k_time`` unchanged on
-        backends/shapes the block kernel doesn't cover.
+        here (once per bucket) removes the filter DFTs from every batch
+        forward.  Small/mid buckets get direct spectra (batch-pair fused
+        mixer), long buckets get m-block spectra; ``k_time`` is returned
+        unchanged on backends/shapes neither kernel covers.
         """
         cfg = getattr(self.model, "config", None)
         if cfg is None or jax.default_backend() != "tpu":
             return k_time
         if getattr(cfg, "fft_method", None) not in ("auto", "pallas"):
             return k_time
-        from chimeralm_tpu.ops.pallas_dft import block_spectra_for_length
+        from chimeralm_tpu.ops.pallas_dft import (
+            _MIN_BLOCK_L,
+            block_spectra_for_length,
+            direct_filter_spectra,
+            mixer_fused_direct_available,
+        )
 
         order, D = cfg.hyena_order, cfg.d_model
         k = k_time.reshape(L, order - 1, D).transpose(1, 2, 0)  # (order-1, D, L)
+        if L < _MIN_BLOCK_L and mixer_fused_direct_available(D, L, self._rows_for_bucket(L)):
+            n = 1
+            while n < 2 * L:
+                n <<= 1
+            specs = tuple(direct_filter_spectra(k[o], n) for o in range(order - 1))
+            return (k_time, specs)
         specs = tuple(block_spectra_for_length(k[o], L) for o in range(order - 1))
         if any(s is None for s in specs):
             return k_time

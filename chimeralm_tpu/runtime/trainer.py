@@ -203,6 +203,10 @@ class Trainer:
                 raw = ckptr.restore(str(path.resolve()))
         else:
             raw = flax.serialization.msgpack_restore(path.read_bytes())
+        if "params" not in raw:
+            # bare params tree (a from_pretrained ``flax_params.msgpack``
+            # export): wrap it into TrainState shape
+            raw = {"params": raw}
         # params-only exports (scripts/train_flagship.py) omit opt_state etc.
         for key in ("opt_state", "model_state", "step"):
             if key not in raw:

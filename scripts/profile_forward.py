@@ -3,9 +3,13 @@
 Isolates where the steady-state per-batch device time goes by timing the
 jitted inference forward under controlled ablations:
 
-* ``full``      — the production graph (bf16, filter cache, chosen fft method)
-* ``noconv``    — ``fft_conv`` replaced by identity (everything but the DFTs)
+* ``full``      — the production graph (bf16, filter cache incl. block
+                  spectra — the fused-mixer route, exactly what the engine
+                  jits; ``--no-spectra`` restores the round-3 unfused path)
+* ``noconv``    — ``fft_conv`` replaced by identity (everything but the DFTs;
+                  forces the unfused mixer so the patch actually fires)
 * ``nomixer``   — the whole Hyena mixer replaced by identity (embed+MLP+head)
+* ``nomlp``     — the block MLPs replaced by zeros (isolates their matmuls)
 
 The difference full-noconv is the long-conv cost; noconv-nomixer is the
 projections/short-conv/gating cost; nomixer is the rest (embedding, MLPs,
@@ -50,7 +54,9 @@ def main() -> int:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--fft-method", default="auto")
     p.add_argument("--variants", nargs="+",
-                   default=["full", "noconv", "nomixer"])
+                   default=["full", "noconv", "nomixer", "nomlp"])
+    p.add_argument("--no-spectra", action="store_true",
+                   help="omit the cached filter block spectra (unfused mixer)")
     args = p.parse_args()
 
     import jax
@@ -72,16 +78,46 @@ def main() -> int:
 
     real_fft_conv = hyena_mod.fft_conv
     real_call = hyena_mod.HyenaOperator.__call__
+    real_mlp = hyena_mod.HyenaMlp.__call__
+    spectra = not args.no_spectra
 
     def set_variant(name: str):
+        nonlocal spectra
         hyena_mod.fft_conv = real_fft_conv
         hyena_mod.HyenaOperator.__call__ = real_call
+        hyena_mod.HyenaMlp.__call__ = real_mlp
+        spectra = not args.no_spectra
         if name == "noconv":
             hyena_mod.fft_conv = lambda u, k, bias, **kw: u
+            spectra = False  # unfused route, so the identity patch fires
         elif name == "nomixer":
             hyena_mod.HyenaOperator.__call__ = (
                 lambda self, u, deterministic=True, k_cached=None: u
             )
+        elif name == "nomlp":
+            hyena_mod.HyenaMlp.__call__ = lambda self, x: x * 0.0
+
+    def augment(k_time, L, rows):
+        """Attach per-order filter spectra (mirrors PredictEngine's cache):
+        direct spectra below the block floor, m-block spectra above."""
+        from chimeralm_tpu.ops.pallas_dft import (
+            _MIN_BLOCK_L,
+            block_spectra_for_length,
+            direct_filter_spectra,
+            mixer_fused_direct_available,
+        )
+
+        order, D = cfg.hyena_order, cfg.d_model
+        k = k_time.reshape(L, order - 1, D).transpose(1, 2, 0)
+        if L < _MIN_BLOCK_L and mixer_fused_direct_available(D, L, rows):
+            n = 1
+            while n < 2 * L:
+                n <<= 1
+            return (k_time, tuple(direct_filter_spectra(k[o], n) for o in range(order - 1)))
+        specs = tuple(block_spectra_for_length(k[o], L) for o in range(order - 1))
+        if any(s is None for s in specs):
+            return k_time
+        return (k_time, specs)
 
     results = {}
     for variant in args.variants:
@@ -103,7 +139,12 @@ def main() -> int:
             key = jax.random.PRNGKey(L)
             ids = jax.random.randint(key, (rows, L), 0, 11, jnp.int32)
             mask = jnp.ones((rows, L), jnp.int32)
-            fc = None if variant == "nomixer" else jax.block_until_ready(filt(params, L))
+            if variant == "nomixer":
+                fc = None
+            else:
+                fc = jax.block_until_ready(filt(params, L))
+                if spectra:
+                    fc = tuple(augment(k_layer, L, rows) for k_layer in fc)
             dt = time_fn(fwd, (params, ids, mask, fc), args.iters)
             mtoks = rows * L / dt / 1e6
             results[f"{variant}/{L}"] = round(dt * 1e3, 2)

@@ -244,6 +244,14 @@ def main(argv=None) -> int:
             best_file = prev_best / "best.json"
             if best_file.exists():
                 prev_best = Path(json.loads(best_file.read_text())["path"])
+            elif (prev_best / "last.ckpt.msgpack").exists():
+                prev_best = prev_best / "last.ckpt.msgpack"
+            elif (prev_best / "checkpoint.msgpack").exists():
+                # from_pretrained export carrying a full trainer checkpoint
+                prev_best = prev_best / "checkpoint.msgpack"
+            elif (prev_best / "flax_params.msgpack").exists():
+                # params-only from_pretrained export (the r3+ demo format)
+                prev_best = prev_best / "flax_params.msgpack"
             else:
                 prev_best = prev_best / "last.ckpt.msgpack"
             logger.info("seed-from directory resolved to %s", prev_best)

@@ -582,3 +582,86 @@ def test_bwd_routing_on_tpu_geometry(monkeypatch):
     assert pd.bwd_pallas_supported(65536, 256, 32768, 4)
     monkeypatch.setattr(pd, "_BWD_ENABLED", False)
     assert not pd.bwd_pallas_supported(16384, 256, 8192, 16)
+
+
+def test_mixer_conv_fused_direct_matches_composition():
+    """Pair fused mixer == shortconv -> gate -> conv -> gate composition."""
+    from chimeralm_tpu.ops.fft_conv import short_depthwise_conv
+    from chimeralm_tpu.ops.pallas_dft import (
+        direct_filter_spectra,
+        mixer_conv_fused_direct,
+    )
+
+    rng = np.random.default_rng(67)
+    B, D, L, W = 4, 4, 1024, 3
+    n = 2 * L
+    uc3 = jnp.asarray(rng.normal(size=(B, 3 * D, L)), jnp.float32)
+    sw = jnp.asarray(rng.normal(size=(3 * D, 1, W)) * 0.3, jnp.float32)
+    sb = jnp.asarray(rng.normal(size=(3 * D,)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    fbias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    uc = short_depthwise_conv(uc3, sw, sb)
+    x0, x1, v = uc[:, :D], uc[:, D : 2 * D], uc[:, 2 * D :]
+    g = v * x1
+    ref = np.asarray(fft_conv_matmul(g, k, fbias, n) * x0)
+
+    spec = direct_filter_spectra(k, n)
+    out = np.asarray(mixer_conv_fused_direct(uc3, sw, sb, fbias, spec, n, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max(), rtol=1e-3)
+
+
+def test_mixer_conv_fused_direct_rejects_odd_batch():
+    from chimeralm_tpu.ops.pallas_dft import (
+        direct_filter_spectra,
+        mixer_conv_fused_direct,
+        mixer_fused_direct_available,
+    )
+
+    rng = np.random.default_rng(68)
+    B, D, L = 3, 4, 1024
+    uc3 = jnp.asarray(rng.normal(size=(B, 3 * D, L)), jnp.float32)
+    sw = jnp.zeros((3 * D, 1, 3), jnp.float32)
+    sb = jnp.zeros((3 * D,), jnp.float32)
+    k = jnp.zeros((D, L), jnp.float32)
+    spec = direct_filter_spectra(k, 2 * L)
+    assert not mixer_fused_direct_available(D, L, B, interpret=True)
+    with pytest.raises(ValueError, match="even"):
+        mixer_conv_fused_direct(uc3, sw, sb, jnp.zeros((D,)), spec, 2 * L, interpret=True)
+
+
+def test_model_forward_fused_direct_mixer_matches_unfused(monkeypatch):
+    """Full tiny-model forward: direct-spectra route == unfused (interpret)."""
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    cfg = tiny_config(max_seq_len=2048)
+    model = HyenaDnaClassifier(cfg)
+    rng = np.random.default_rng(69)
+    B, L = 4, 512
+    n = 2 * L
+    ids = jnp.asarray(rng.integers(0, 11, size=(B, L)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    cache = model.apply({"params": params}, L, method="filters")
+    base = model.apply({"params": params}, ids, attention_mask=mask,
+                       deterministic=True, filter_cache=cache)
+
+    monkeypatch.setattr(pd, "mixer_fused_direct_available",
+                        lambda D, L, B, interpret=False: True)
+    fired = []
+    real_fused = pd.mixer_conv_fused_direct
+    monkeypatch.setattr(pd, "mixer_conv_fused_direct",
+                        lambda *a, **k: (fired.append(1), real_fused(*a, **k))[1])
+    order, D = cfg.hyena_order, cfg.d_model
+    wrapped = []
+    for k_time in cache:
+        kk = k_time.reshape(L, order - 1, D).transpose(1, 2, 0)
+        specs = tuple(pd.direct_filter_spectra(kk[o], n) for o in range(order - 1))
+        wrapped.append((k_time, specs))
+    with _interpret_pallas():
+        out = model.apply({"params": params}, ids, attention_mask=mask,
+                          deterministic=True, filter_cache=tuple(wrapped))
+    assert fired, "direct fused mixer route did not execute"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-3 * max(float(np.abs(np.asarray(base)).max()), 1.0), rtol=1e-3)

@@ -166,6 +166,27 @@ def test_load_params_only_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_bare_params_export(tmp_path):
+    """A from_pretrained ``flax_params.msgpack`` (bare params tree, no
+    TrainState wrapper) seeds a fresh state — the --seed-from export path."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    model = HyenaDnaClassifier(tiny_config(embed_dropout=0.0))
+    task = ClassificationTask(model, learning_rate=1e-3)
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))
+    path = tmp_path / "flax_params.msgpack"
+    path.write_bytes(flax.serialization.msgpack_serialize(
+        flax.serialization.to_state_dict(jax.tree.map(np.asarray, state.params))
+    ))
+    trainer = Trainer(task, TrainerConfig(), ckpt_dir=tmp_path)
+    fresh = task.init_state(jax.random.PRNGKey(5), jnp.zeros((1, 64), jnp.int32))
+    restored, _ = trainer.load_checkpoint(fresh, path)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_load_checkpoint_across_optimizer_recipes(tmp_path):
     """A full ckpt saved under one optimizer recipe seeds params into another.
 
