@@ -156,7 +156,12 @@ def load_reads(n: int) -> list[dict]:
 def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
     if CPU_CACHE.exists() and not refresh:
         try:
-            return float(json.loads(CPU_CACHE.read_text())["reads_per_s"])
+            cached = json.loads(CPU_CACHE.read_text())
+            # the cache is only valid for the same read mix: 25 reads (the
+            # old default) is a different length distribution than the full
+            # 100-read fixture the TPU run cycles through
+            if int(cached.get("n_reads", 0)) == n_reads:
+                return float(cached["reads_per_s"])
         except Exception:
             pass
     script = (
@@ -166,7 +171,8 @@ def cpu_baseline(n_reads: int, refresh: bool = False) -> float:
         f"reads = load_reads({n_reads});"
         "eng = build_engine('float32', 12);"
         "rps = measure(eng, reads, reads).reads_per_s;"
-        "import json; print('CPU_RESULT ' + json.dumps({'reads_per_s': rps}))"
+        "import json; print('CPU_RESULT ' + json.dumps("
+        f"{{'reads_per_s': rps, 'n_reads': {n_reads}}}))"
     ) % str(REPO)
     out = subprocess.run(
         [sys.executable, "-c", script],
@@ -204,13 +210,21 @@ def flops_per_token(d_model: int = 256, n_layer: int = 4, d_inner: int = 1024,
 
 def roofline_fields(stats, peak_flops: float) -> dict:
     """MFU from the tokens the device actually processed (incl. pad rows:
-    the MXU computes them) at the mean per-token FLOPs of the run."""
-    fpt = flops_per_token(L=32768)
-    device_flops_per_s = fpt * stats.tokens_per_s
-    valid_tokens = stats.n_tokens - stats.n_padded_tokens
-    flops_per_read = fpt * valid_tokens / max(stats.n_reads, 1)
+    the MXU computes them), priced PER BUCKET: each batch's tokens cost
+    ``flops_per_token(L=bucket)`` for the bucket it ran in (the FFT term is
+    log2(2L) per token, so flat L=32768 pricing overstates short reads).
+    Falls back to flat 32k pricing when the engine reported no histogram."""
+    bucket_tokens = {int(k): v for k, v in (getattr(stats, "bucket_tokens", None) or {}).items()}
+    bucket_valid = {int(k): v for k, v in (getattr(stats, "bucket_valid_tokens", None) or {}).items()}
+    if bucket_tokens and sum(bucket_tokens.values()) == stats.n_tokens:
+        device_flops = sum(flops_per_token(L=b) * t for b, t in bucket_tokens.items())
+        read_flops = sum(flops_per_token(L=b) * t for b, t in bucket_valid.items())
+    else:
+        device_flops = flops_per_token(L=32768) * stats.n_tokens
+        read_flops = flops_per_token(L=32768) * (stats.n_tokens - stats.n_padded_tokens)
+    device_flops_per_s = device_flops / stats.wall_s if stats.wall_s else 0.0
     return {
-        "flops_per_read": round(flops_per_read, 3),
+        "flops_per_read": round(read_flops / max(stats.n_reads, 1), 3),
         "tokens_per_s": round(stats.tokens_per_s, 1),
         "mfu": round(device_flops_per_s / peak_flops, 4),
         "peak_flops": peak_flops,
@@ -258,6 +272,9 @@ def measure_child(args) -> int:
         "n_reads": stats.n_reads,
         "n_tokens": stats.n_tokens,
         "n_padded_tokens": stats.n_padded_tokens,
+        "wall_s": stats.wall_s,
+        "bucket_tokens": stats.bucket_tokens,
+        "bucket_valid_tokens": stats.bucket_valid_tokens,
     }))
     return 0
 
@@ -296,7 +313,9 @@ def main() -> int:
     parser.add_argument("--pipeline-depth", type=int, default=48)
     parser.add_argument("--passes", type=int, default=3,
                         help="measured passes; the median is reported (relay jitter)")
-    parser.add_argument("--cpu-reads", type=int, default=25)
+    # the FULL fixture (100 reads = the same length mix the TPU run cycles);
+    # 25 reads was a different distribution and skewed the ratio
+    parser.add_argument("--cpu-reads", type=int, default=100)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--dtype", default="bfloat16")
     # fine grid measured 205.9 vs pow2's 187.0 reads/s (r4)

@@ -595,13 +595,15 @@ def _dft_conv_pair_mixer_kernel(
     """Order-2 Hyena mixer core fused around the batch-pair direct conv.
 
     The direct-kernel counterpart of ``_dft_conv_block_mixer_kernel`` for
-    the small/mid length buckets (block floor is L = 8192): short
+    the small/mid length buckets (block-mixer floor is L = _MIN_BLOCK_L =
+    12288): short
     depthwise conv of the three projection groups, gate g = v_c * x1_c,
     the TWO batch rows' gates packed into ONE complex DFT (conv is linear,
     filter shared), pointwise product with the precomputed filter spectrum,
     complex inverse (both rows come back as re/im), filter-bias
-    passthrough, output gate y * x0_c.  The XLA-level short conv + gating
-    this replaces measured ~19 ms per 262k-token batch.
+    passthrough, output gate y * x0_c.  Serves the buckets below the block
+    mixer's floor (_MIN_BLOCK_L = 12288).  The XLA-level short conv +
+    gating this replaces measured ~19 ms per 262k-token batch.
     """
     f1r, f1i = f1r_ref[...], f1i_ref[...]
     twTr, twTi = twTr_ref[...], twTi_ref[...]
@@ -638,8 +640,12 @@ def mixer_fused_direct_available(D: int, L: int, B: int, interpret: bool = False
 
     Requires an even row count (two gates per complex DFT) and a legal
     pair-kernel geometry at n = next-pow2(2L); the block-mixer route takes
-    over at L >= 8192 where its shared forward DFTs win."""
+    over at L >= _MIN_BLOCK_L (12288) where its shared forward DFTs win."""
     if B % 2:
+        return False
+    if not interpret and jax.default_backend() != "tpu":
+        # the non-interpret Pallas kernel only lowers on TPU (mirrors
+        # mixer_fused_available's backend gate)
         return False
     n = 1
     while n < 2 * L:
@@ -1520,8 +1526,9 @@ def dft_corr_pallas(u, g, interpret: bool = False):
         n = size
         n1, n2, *consts = _constants(n)
         kernel = functools.partial(_dft_corr_kernel, n=n, n1=n1, n2=n2, bc=bc, L=L)
-        # 14 stage dots (8 packed-fwd + 6 real inverse) vs the pair kernel's 8
-        flops = 7 * (n1 + n2) * B * D * n
+        # 14 stage dots (8 packed-fwd + 6 real inverse) vs the pair kernel's 8;
+        # same _PASSES precision multiplier as every other kernel's estimate
+        flops = _PASSES.get(_PREC, 3) * 7 * (n1 + n2) * B * D * n
         vmem_kw = {}
     else:
         h = size

@@ -88,6 +88,10 @@ class PredictStats:
     n_tokens: int = 0
     n_padded_tokens: int = 0
     wall_s: float = 0.0
+    # per-bucket token histograms (bucket length -> tokens): lets the bench
+    # price FLOPs at each batch's actual length instead of a flat L=32768
+    bucket_tokens: dict = dataclasses.field(default_factory=dict)
+    bucket_valid_tokens: dict = dataclasses.field(default_factory=dict)
 
     @property
     def reads_per_s(self) -> float:
@@ -405,6 +409,11 @@ class PredictEngine:
             stats.n_padded_tokens += int(
                 batch["input_ids"].shape[0] * batch["input_ids"].shape[1] - valid_tokens
             )
+            L = int(batch["input_ids"].shape[1])
+            stats.bucket_tokens[L] = stats.bucket_tokens.get(L, 0) + int(
+                batch["input_ids"].shape[0] * L
+            )
+            stats.bucket_valid_tokens[L] = stats.bucket_valid_tokens.get(L, 0) + valid_tokens
         flush()
         stats.wall_s = time.perf_counter() - start
         logger.info(

@@ -244,3 +244,38 @@ def test_shard_eval_script(tmp_path):
     assert proc2.returncode == 0, proc2.stdout + proc2.stderr
     assert "skipping" in proc2.stdout
     assert len(merged.read_text().splitlines()) == 50
+
+
+def test_parity_drill_end_to_end(tmp_path):
+    """The one-command real-weights parity drill runs green on the torch
+    mirror's random weights (the stand-in until egress exists): convert,
+    per-layer goldens, parity-mode CLI labels vs the torch pipeline, and the
+    bf16-vs-f32 audit all pass, and an --expected mismatch is detected."""
+    torch = pytest.importorskip("torch")
+    import parity_drill
+
+    from tests.torch_mirror import TINY_CFG, ChimeraLMTorch
+
+    torch.manual_seed(11)
+    tmodel = ChimeraLMTorch(TINY_CFG).eval()
+    ckpt = tmp_path / "standin.pt"
+    torch.save(tmodel.state_dict(), ckpt)
+
+    report = parity_drill.run_drill(
+        ckpt, Path(__file__).parent / "data" / "test_chimric_reads.bam",
+        scale="tiny", audit_reads=24,
+    )
+    assert report["ok"], report
+    assert report["stages"]["goldens"]["ok"]
+    assert report["stages"]["cli_labels"]["n_mismatches"] == 0
+    assert report["stages"]["precision_audit"]["n_flips"] == 0
+
+    # a corrupted expected file must be flagged, not silently pass
+    bad = tmp_path / "expected.txt"
+    bad.write_text("this_read_does_not_exist\t1\n")
+    report_bad = parity_drill.run_drill(
+        ckpt, Path(__file__).parent / "data" / "test_chimric_reads.bam",
+        scale="tiny", expected=bad, skip_audit=True,
+    )
+    assert not report_bad["ok"]
+    assert report_bad["stages"]["cli_labels"]["n_mismatches"] > 0
