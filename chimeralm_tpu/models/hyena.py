@@ -228,6 +228,32 @@ class HyenaOperator(nn.Module):
                 )
                 return self.out_proj(jnp.swapaxes(y, 1, 2))
 
+        # fused TRAINING mixer: no spectra cache (the filter is per-step
+        # data), but the implicit filter + its block spectra are evaluated
+        # once per step as XLA matmuls and the whole mixer core rides the
+        # same fused kernel, with a custom VJP whose long-conv legs are
+        # fused too (pallas_dft.mixer_conv_fused_train).  Covers the block
+        # geometry; everything else falls through to the unfused path.
+        if (
+            k_spec is None
+            and order == 2
+            and cfg.sp_axis is None
+            and cfg.fft_method in ("auto", "pallas")
+        ):
+            from chimeralm_tpu.ops.pallas_dft import (
+                mixer_conv_fused_train,
+                mixer_train_available,
+            )
+
+            if mixer_train_available(D, L, u.shape[0]):
+                k = k_cached if k_cached is not None else self.filter_fn.filter(L)
+                kmat = k.reshape(L, D).T  # (D, L), order == 2
+                y = mixer_conv_fused_train(
+                    u, self.short_filter_weight, self.short_filter_bias,
+                    self.filter_fn.bias, kmat.astype(jnp.float32),
+                )
+                return self.out_proj(jnp.swapaxes(y, 1, 2))
+
         # the unfused conv path only understands the block-spectra format
         # (fft_conv feeds it to the m-block kernel); drop a direct-spectra
         # cache here (e.g. an odd-row partial batch) and recompute normally

@@ -1608,6 +1608,161 @@ def conv_bwd_pallas(u, k, bias, g, fft_size, interpret: bool = False):
     return du, dk.astype(k.dtype), dbias.astype(bias.dtype)
 
 
+# ---- fused training mixer: custom VJP around the block mixer kernel --------
+#
+# Round-4 left the training forward on the XLA short conv + gating
+# (~19 ms per 262k-token batch) plus the unfused long conv; inference got
+# the fused mixer because its filter spectra are cached per bucket.  But the
+# filter is per-STEP data in training, not per-batch: evaluating the
+# implicit-filter MLP + its block spectra once per step (XLA matmuls) lets
+# the training forward ride the SAME fused kernel.  The custom VJP below
+# closes the loop with every gradient on a fused kernel:
+#
+#   fwd:  kspec = block_filter_spectra(k)          (XLA, once per step)
+#         y = mixer_conv_fused(uc3, w, b, fb, kspec)    (one kernel)
+#   bwd:  recompute short convs + gate g (XLA elementwise, cheap)
+#         z  = conv(g, k) + fb*g         via _pallas_forward(kspec cached)
+#         dz = dy * x0c;  dx0c = dy * z
+#         dg = flip(conv(flip(dz), k, fb))  -- the flip identity (du leg)
+#         dk = corr(g, dz)               via dft_corr_pallas
+#         short-conv transposes + tap/bias grads  (XLA elementwise)
+#
+# z is REMATERIALIZED in the backward (one extra fused conv) instead of
+# being a second kernel output: dual outputs are a known Mosaic crash
+# vector (see the 32k-bucket notes above) and the recompute reuses the
+# step's cached spectra, so it costs one kernel, not a filter re-DFT.
+
+#: kill switch (CHIMERALM_FUSED_TRAIN=0 restores the round-4 unfused
+#: training forward: XLA short conv + gating + fft_conv_pallas)
+_FUSED_TRAIN_ENABLED = os.environ.get("CHIMERALM_FUSED_TRAIN", "1") != "0"
+
+
+def mixer_train_available(D: int, L: int, B: int, interpret: bool = False) -> bool:
+    """True when the fused-train mixer covers (D, L, B) on this backend."""
+    if not (_FUSED_TRAIN_ENABLED and _BLOCK_ENABLED and _BWD_ENABLED):
+        return False
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    return (
+        L >= _MIN_FUSED_L
+        and supported_block(D, L, interpret=interpret)
+        and supported_corr(D, L, B, interpret=interpret)
+    )
+
+
+def _sconv_f32(x, wt, b, L: int):
+    """Causal W-tap depthwise conv of (B, bc, L) in f32 (XLA elementwise).
+
+    Same tap convention as ``_short_conv_vmem``: y[t] = b + sum_j
+    wt[W-1-j] * x[t-j]."""
+    w = wt.shape[-1]
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (w - 1, 0)))
+    out = wt[None, :, w - 1 : w] * x + b[None, :, None]
+    for s in range(w - 1):
+        out = out + wt[None, :, s : s + 1] * xpad[..., s : s + L]
+    return out
+
+
+def _sconv_transpose(dxc, wt, L: int):
+    """VJP of ``_sconv_f32`` w.r.t. x: dx[t] = sum_s wt[s] * dxc[t + W-1-s]."""
+    w = wt.shape[-1]
+    dpad = jnp.pad(dxc, ((0, 0), (0, 0), (0, w - 1)))
+    out = wt[None, :, w - 1 : w] * dxc
+    for s in range(w - 1):
+        out = out + wt[None, :, s : s + 1] * dpad[..., w - 1 - s : w - 1 - s + L]
+    return out
+
+
+def _sconv_tap_grads(dxc, x, w: int, L: int):
+    """(dw, db) of ``_sconv_f32``: dw[c,s] = sum_{b,t} dxc[b,c,t]*xpad[b,c,t+s]."""
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (w - 1, 0)))
+    dw = jnp.stack(
+        [jnp.einsum("bct,bct->c", dxc, xpad[..., s : s + L]) for s in range(w)], axis=-1
+    )
+    return dw, dxc.sum(axis=(0, 2))
+
+
+@jax.custom_vjp
+def mixer_conv_fused_train(uc3, short_weight, short_bias, filter_bias, k):
+    """Differentiable fused order-2 mixer core for TRAINING.
+
+    Same value contract as ``mixer_conv_fused`` but takes the raw (D, L)
+    time-domain filter ``k`` (per-step data from the implicit-filter MLP)
+    and computes the block spectra per step.  All five arguments receive
+    gradients; the long-conv legs of the VJP ride the fused kernels."""
+    interp = jax.default_backend() != "tpu"
+    B, C3, L = uc3.shape
+    D = C3 // 3
+    h = BLOCK_H or _choose_block_h(D, L, interp)
+    kspec = block_filter_spectra(k, h)
+    return mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
+                            h=h, interpret=interp)
+
+
+def _mct_fwd(uc3, short_weight, short_bias, filter_bias, k):
+    interp = jax.default_backend() != "tpu"
+    B, C3, L = uc3.shape
+    D = C3 // 3
+    h = BLOCK_H or _choose_block_h(D, L, interp)
+    kspec = block_filter_spectra(k, h)
+    y = mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
+                         h=h, interpret=interp)
+    return y, (uc3, short_weight, short_bias, filter_bias, k, kspec, h)
+
+
+def _mct_bwd(res, dy):
+    uc3, short_weight, short_bias, filter_bias, k, kspec, h = res
+    interp = jax.default_backend() != "tpu"
+    B, C3, L = uc3.shape
+    D = C3 // 3
+    w = short_weight.shape[-1]
+    wt = short_weight[:, 0, :].astype(jnp.float32)  # (3D, W)
+    sb = short_bias.astype(jnp.float32)
+    fb = filter_bias.astype(jnp.float32)
+
+    x0 = uc3[:, :D].astype(jnp.float32)
+    x1 = uc3[:, D : 2 * D].astype(jnp.float32)
+    v = uc3[:, 2 * D :].astype(jnp.float32)
+    x0c = _sconv_f32(x0, wt[:D], sb[:D], L)
+    x1c = _sconv_f32(x1, wt[D : 2 * D], sb[D : 2 * D], L)
+    vc = _sconv_f32(v, wt[2 * D :], sb[2 * D :], L)
+    g = vc * x1c
+
+    dy32 = dy.astype(jnp.float32)
+    gb = g.astype(uc3.dtype)
+    # z rematerialized + the du leg, both on the block kernel with the
+    # step's cached spectra (the geometry the fused forward already proved)
+    z = dft_conv_pallas_block(gb, k, fb, h=h, interpret=interp,
+                              kspec=kspec).astype(jnp.float32)
+    dz = dy32 * x0c
+    dx0c = dy32 * z
+
+    dzb = dz.astype(uc3.dtype)
+    dzf = jnp.flip(dzb, axis=-1)
+    dg_r = dft_conv_pallas_block(dzf, k, fb, h=h, interpret=interp, kspec=kspec)
+    dk = dft_corr_pallas(gb, dzb, interpret=interp)
+    dg = jnp.flip(dg_r, axis=-1).astype(jnp.float32)
+    dfb = jnp.einsum("bdl,bdl->d", dz, g)
+
+    dvc = dg * x1c
+    dx1c = dg * vc
+
+    dx0 = _sconv_transpose(dx0c, wt[:D], L)
+    dx1 = _sconv_transpose(dx1c, wt[D : 2 * D], L)
+    dv = _sconv_transpose(dvc, wt[2 * D :], L)
+    duc3 = jnp.concatenate([dx0, dx1, dv], axis=1).astype(uc3.dtype)
+
+    dw0, db0 = _sconv_tap_grads(dx0c, x0, w, L)
+    dw1, db1 = _sconv_tap_grads(dx1c, x1, w, L)
+    dwv, dbv = _sconv_tap_grads(dvc, v, w, L)
+    dsw = jnp.concatenate([dw0, dw1, dwv], axis=0)[:, None, :].astype(short_weight.dtype)
+    dsb = jnp.concatenate([db0, db1, dbv], axis=0).astype(short_bias.dtype)
+    return (duc3, dsw, dsb, dfb.astype(filter_bias.dtype), dk.astype(k.dtype))
+
+
+mixer_conv_fused_train.defvjp(_mct_fwd, _mct_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fft_conv_pallas(u, k, bias, fft_size):
     """Differentiable wrapper: Pallas forward (direct / overlap-add /

@@ -128,6 +128,12 @@ class Trainer:
     def save_checkpoint(self, state: TrainState, tag: str, extra: dict | None = None) -> Path | None:
         if self.ckpt_dir is None:
             return None
+        if jax.process_count() > 1 and jax.process_index() != 0 and self.config.checkpoint_format != "orbax":
+            # multi-process run, host-local format: params are replicated, so
+            # rank 0's file is the checkpoint (matches the reference's
+            # rank-zero ModelCheckpoint); orbax instead writes collectively,
+            # each process contributing its addressable shards
+            return None
         import flax.serialization
 
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)

@@ -48,6 +48,10 @@ def main() -> int:
     from chimeralm_tpu.runtime.task import ClassificationTask
 
     route = "fused" if os.environ.get("CHIMERALM_PALLAS_BWD", "1") != "0" else "einsum"
+    if os.environ.get("CHIMERALM_FUSED_TRAIN", "1") == "0":
+        route += "+unfused_fwd"
+    else:
+        route += "+fused_train_mixer"  # round-5 fused training forward (custom VJP)
     print(f"[train-bench] backend={jax.default_backend()} bwd_route={route}",
           file=sys.stderr, flush=True)
 
@@ -70,7 +74,12 @@ def main() -> int:
         train_step = jax.jit(task.train_step, donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
         t_compile = time.perf_counter()
-        for _ in range(args.warmup):
+        state, metrics = train_step(state, batch, key)
+        # first-step loss from a fixed init: the cross-route parity probe
+        # (fused_train vs unfused forwards must agree to ~5e-4)
+        print(f"[train-bench] {shape} first-step loss {float(metrics['loss']):.6f}",
+              file=sys.stderr, flush=True)
+        for _ in range(max(args.warmup - 1, 0)):
             state, metrics = train_step(state, batch, key)
         # relay note: block_until_ready can return early through axon; a
         # D2H fetch is the reliable sync point

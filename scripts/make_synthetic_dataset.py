@@ -50,6 +50,77 @@ def make_read(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000) -> s
     return prefix + junction + rest
 
 
+def _noisy(rng, seq: str, sub_rate: float, indel_rate: float = 0.0) -> str:
+    """ONT-style corruption: substitutions plus occasional 1-base indels."""
+    out = []
+    for c in seq:
+        r = rng.random()
+        if indel_rate and r < indel_rate / 2:
+            continue  # deletion
+        if indel_rate and r < indel_rate:
+            out.append(str(BASES[rng.integers(0, 4)]))  # insertion
+        if rng.random() < sub_rate:
+            c = str(BASES[rng.integers(0, 4)])
+        out.append(c)
+    return "".join(out)
+
+
+def make_read_hard(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000,
+                   sub_rate: float = 0.08) -> str:
+    """De-saturated task variant (round-5: the easy task scored every
+    backbone at F1 1.0 and ranked nothing).
+
+    Positives are WGA fold-backs with a SHORT (15-80 bp), NOISY
+    reverse-complement copy and no adapter motif (random 0-6 bp junction
+    microhomology instead), so there is no trivially learnable token
+    pattern.  Negatives include hard structural decoys:
+
+    * forward tandem repeat — the same self-similarity geometry, but the
+      copy is NOT reverse-complemented (a natural repeat, label 0);
+    * trans-junction — a reverse-complement segment of an UNRELATED
+      sequence spliced in (a biological inter-locus chimera, which the
+      reference pipeline deliberately KEEPS, label 0).
+
+    Separating these requires comparing the junction content against the
+    read's own upstream sequence — long-range matching, not motif lookup.
+    Everything is additionally corrupted at ``sub_rate`` substitutions +
+    1% indels (the revcomp/repeat copies too), mimicking ONT error.
+    """
+    n = int(rng.integers(min_len, max_len))
+    if chimeric:
+        a_len = int(rng.integers(n // 3, 2 * n // 3))
+        prefix = _random_seq(rng, a_len)
+        tail_len = int(rng.integers(15, 81))
+        tail_len = min(tail_len, a_len)
+        micro = _random_seq(rng, int(rng.integers(0, 7)))
+        copy = _noisy(rng, revcomp(prefix[-tail_len:]), sub_rate, 0.01)
+        rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
+        seq = prefix + micro + copy + rest
+    else:
+        kind = rng.random()
+        if kind < 0.4:
+            seq = _random_seq(rng, n)
+        elif kind < 0.7:
+            # forward tandem repeat: duplication WITHOUT reverse complement
+            a_len = int(rng.integers(n // 3, 2 * n // 3))
+            prefix = _random_seq(rng, a_len)
+            tail_len = min(int(rng.integers(15, 81)), a_len)
+            micro = _random_seq(rng, int(rng.integers(0, 7)))
+            copy = _noisy(rng, prefix[-tail_len:], sub_rate, 0.01)
+            rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
+            seq = prefix + micro + copy + rest
+        else:
+            # trans-junction: revcomp of an UNRELATED sequence spliced in
+            a_len = int(rng.integers(n // 3, 2 * n // 3))
+            prefix = _random_seq(rng, a_len)
+            seg_len = int(rng.integers(15, 81))
+            micro = _random_seq(rng, int(rng.integers(0, 7)))
+            copy = _noisy(rng, revcomp(_random_seq(rng, seg_len)), sub_rate, 0.01)
+            rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
+            seq = prefix + micro + copy + rest
+    return _noisy(rng, seq, sub_rate / 2)
+
+
 def generate(
     n_reads: int,
     out_path: str | Path,
@@ -57,15 +128,17 @@ def generate(
     positive_ratio: float = 0.5,
     min_len: int = 300,
     max_len: int = 2000,
+    mode: str = "easy",
 ):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    make = {"easy": make_read, "hard": make_read_hard}[mode]
     rng = np.random.default_rng(seed)
     ids, seqs, quals = [], [], []
     for i in range(n_reads):
         label = 1 if rng.random() < positive_ratio else 0
-        seq = make_read(rng, chimeric=bool(label), min_len=min_len, max_len=max_len)
+        seq = make(rng, chimeric=bool(label), min_len=min_len, max_len=max_len)
         ids.append(f"synth_{i:06d}|{label}")
         seqs.append(seq)
         quals.append(rng.integers(10, 40, size=len(seq)).astype(np.int32).tolist())
@@ -82,8 +155,10 @@ def main(argv=None):
     p.add_argument("--positive-ratio", type=float, default=0.5)
     p.add_argument("--min-len", type=int, default=300)
     p.add_argument("--max-len", type=int, default=2000)
+    p.add_argument("--mode", default="easy", choices=["easy", "hard"])
     a = p.parse_args(argv)
-    print(generate(a.n_reads, a.out_path, a.seed, a.positive_ratio, a.min_len, a.max_len))
+    print(generate(a.n_reads, a.out_path, a.seed, a.positive_ratio, a.min_len, a.max_len,
+                   mode=a.mode))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 logger = logging.getLogger("train_zoo")
 
-ZOO = ("cnn", "transformer", "mamba")
+ZOO = ("cnn", "transformer", "mamba", "hyena")
 
 
 def main(argv=None) -> int:
@@ -57,6 +57,10 @@ def main(argv=None) -> int:
     p.add_argument("--dropout", type=float, default=None,
                    help="override the model config's dropout rate")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mode", default="easy", choices=["easy", "hard"],
+                   help="synthetic task variant: 'hard' adds noisy short "
+                        "fold-backs + structural decoy negatives (round-5 "
+                        "de-saturated benchmark)")
     p.add_argument("--workdir", default=str(REPO / "demo" / "zoo_run"))
     p.add_argument("--out", default=str(REPO / "demo" / "zoo"))
     p.add_argument("--platform", default=None, help="force jax platform (cpu for smoke)")
@@ -83,10 +87,10 @@ def main(argv=None) -> int:
     workdir = Path(args.workdir); workdir.mkdir(parents=True, exist_ok=True)
     out_root = Path(args.out); out_root.mkdir(parents=True, exist_ok=True)
 
-    data_path = workdir / f"zoo_{args.reads}_{args.min_len}_{args.max_len}_{args.seed}.parquet"
+    data_path = workdir / f"zoo_{args.mode}_{args.reads}_{args.min_len}_{args.max_len}_{args.seed}.parquet"
     if not data_path.exists():
         synth.generate(args.reads, data_path, seed=args.seed,
-                       min_len=args.min_len, max_len=args.max_len)
+                       min_len=args.min_len, max_len=args.max_len, mode=args.mode)
 
     logger.info("platform=%s devices=%s", jax.default_backend(), jax.devices())
     table = {}
@@ -109,6 +113,7 @@ def main(argv=None) -> int:
                     "cnn": ("fc_0", "fc_bn", "fc_1"),
                     "transformer": ("attn_pool", "cls_0", "cls_1"),
                     "mamba": ("pooler_dense", "cls_0", "cls_1"),
+                    "hyena": ("head",),
                 }[name]
                 task.optimizer = make_adamw_grouped(
                     lr, wd, warmup_steps=args.warmup_steps,
@@ -165,7 +170,8 @@ def main(argv=None) -> int:
             "ctx": args.ctx, "reads": args.reads,
             "read_len": [args.min_len, args.max_len],
             "batch_size": args.batch_size, "epochs": args.epochs,
-            "lr": lr, "seed": args.seed, "results": row,
+            "lr": lr, "seed": args.seed, "dataset_mode": args.mode,
+            "results": row,
         }, indent=2, default=str))
 
     # merge into the cross-invocation table (each run may train a subset)

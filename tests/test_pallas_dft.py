@@ -665,3 +665,74 @@ def test_model_forward_fused_direct_mixer_matches_unfused(monkeypatch):
     assert fired, "direct fused mixer route did not execute"
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                atol=2e-3 * max(float(np.abs(np.asarray(base)).max()), 1.0), rtol=1e-3)
+
+
+def test_mixer_conv_fused_train_value_and_grads(monkeypatch):
+    """Fused TRAINING mixer: value AND all five gradients match autodiff
+    through the unfused composition (shortconv -> gate -> conv -> gate)."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+    from chimeralm_tpu.ops.fft_conv import short_depthwise_conv
+
+    monkeypatch.setattr(pd, "BLOCK_H", 512)
+    rng = np.random.default_rng(71)
+    B, D, h, m, W = 2, 4, 512, 3, 3
+    L = m * h
+    uc3 = jnp.asarray(rng.normal(size=(B, 3 * D, L)), jnp.float32)
+    sw = jnp.asarray(rng.normal(size=(3 * D, 1, W)) * 0.3, jnp.float32)
+    sb = jnp.asarray(rng.normal(size=(3 * D,)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    fbias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+
+    def reference(uc3, sw, sb, fbias, k):
+        uc = short_depthwise_conv(uc3, sw, sb)
+        x0, x1, v = uc[:, :D], uc[:, D : 2 * D], uc[:, 2 * D :]
+        g = v * x1
+        n_ref = 1
+        while n_ref < 2 * L:
+            n_ref <<= 1
+        return fft_conv_matmul(g, k, fbias, n_ref) * x0
+
+    def fused(uc3, sw, sb, fbias, k):
+        return pd.mixer_conv_fused_train(uc3, sw, sb, fbias, k)
+
+    ref_val, ref_vjp = jax.vjp(reference, uc3, sw, sb, fbias, k)
+    got_val, got_vjp = jax.vjp(fused, uc3, sw, sb, fbias, k)
+    scale = float(np.abs(ref_val).max())
+    np.testing.assert_allclose(np.asarray(got_val), np.asarray(ref_val),
+                               atol=2e-2 * scale, rtol=1e-3)
+
+    ref_grads = ref_vjp(cot)
+    got_grads = got_vjp(cot)
+    names = ["duc3", "dshort_weight", "dshort_bias", "dfilter_bias", "dk"]
+    for name, a, b in zip(names, got_grads, ref_grads):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 2e-2 * max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol, rtol=5e-3, err_msg=name)
+
+
+def test_model_train_route_uses_fused_mixer(monkeypatch):
+    """HyenaOperator routes training (no cache) through the fused-train
+    mixer when available, and the logits match the unfused forward."""
+    from chimeralm_tpu.models.hyena import HyenaDnaClassifier, tiny_config
+    from chimeralm_tpu.ops import pallas_dft as pd
+
+    cfg = tiny_config(max_seq_len=2048)
+    model = HyenaDnaClassifier(cfg)
+    rng = np.random.default_rng(72)
+    L = 512
+    ids = jnp.asarray(rng.integers(0, 11, size=(2, L)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    base = model.apply({"params": params}, ids, attention_mask=mask, deterministic=True)
+
+    monkeypatch.setattr(pd, "BLOCK_H", 128)
+    fired = []
+    real = pd.mixer_conv_fused_train
+    monkeypatch.setattr(pd, "mixer_train_available", lambda D, L, B, interpret=False: True)
+    monkeypatch.setattr(pd, "mixer_conv_fused_train",
+                        lambda *a, **kw: (fired.append(1), real(*a, **kw))[1])
+    out = model.apply({"params": params}, ids, attention_mask=mask, deterministic=True)
+    assert fired, "fused-train mixer route did not fire"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-3, rtol=1e-3)

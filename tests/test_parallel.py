@@ -384,3 +384,84 @@ def test_pipeline_task_partial_batch():
         np.asarray(out["logits"]), np.asarray(ref),
         atol=1e-4 * max(float(jnp.abs(ref).max()), 1.0), rtol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_matches_single(tmp_path):
+    """True >=2-process TRAINING run (the reference's production mode,
+    reference: configs/trainer/ddp.yaml, scripts/run_train.sh:2-23):
+    jax.distributed over a local TCP coordinator, global dp mesh across both
+    processes, identical global batches device_put with a global sharding —
+    final params and metrics must match a single-process run over the same
+    2-device dp mesh (same mesh shape => same compiled reduction tree)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import flax.serialization
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    data = str(Path(__file__).parent.parent / "demo" / "synthetic_short.parquet")
+    common = [
+        sys.executable, "train.py", "experiment=cnn", "trainer=ddp_sim",
+        f"data.train_data_path={data}", "data.batch_size=8",
+        "trainer.config.max_epochs=2", "trainer.config.limit_train_batches=4",
+        "trainer.config.limit_val_batches=2", "test=false", "logger=null",
+    ]
+
+    def run(tag, extra, env_flags):
+        env = dict(os.environ, CHIMERALM_PLATFORM="cpu", JAX_PLATFORMS="", **env_flags)
+        out_dir = tmp_path / tag
+        return subprocess.Popen(
+            common + [f"callbacks.model_checkpoint.dirpath={out_dir}",
+                      f"paths.output_dir={tmp_path / (tag + '_logs')}", *extra],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=Path(__file__).parent.parent,
+        )
+
+    # single process, 2 virtual CPU devices -> dp=2 mesh
+    single = run("single", [], {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    out = single.communicate(timeout=900)[0].decode()
+    assert single.returncode == 0, out[-3000:]
+
+    # two processes, 1 CPU device each -> the same dp=2 mesh, globally
+    procs = [
+        run(f"multi{i}", [f"trainer.coordinator=127.0.0.1:{port}",
+                          "trainer.num_processes=2", f"trainer.process_id={i}"],
+            {"XLA_FLAGS": ""})
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    # the coordinator runs in rank 0, rank 1 dials in (rank-zero logging
+    # hides the per-rank banner, so assert on the jax.distributed lines)
+    assert "Starting JAX distributed service" in outs[0]
+    assert "Connecting to JAX distributed service" in outs[1]
+
+    # rank 0 owns the multi-process checkpoint (rank-zero ModelCheckpoint)
+    assert not (tmp_path / "multi1" / "last.ckpt.msgpack").exists()
+    ref = flax.serialization.msgpack_restore(
+        (tmp_path / "single" / "last.ckpt.msgpack").read_bytes()
+    )
+    got = flax.serialization.msgpack_restore(
+        (tmp_path / "multi0" / "last.ckpt.msgpack").read_bytes()
+    )
+    assert ref["step"] == got["step"]
+    ref_leaves = jax.tree.leaves(ref["params"])
+    got_leaves = jax.tree.leaves(got["params"])
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+    import json
+
+    m_ref = json.loads((tmp_path / "single" / "last.meta.json").read_text())["metrics"]
+    m_got = json.loads((tmp_path / "multi0" / "last.meta.json").read_text())["metrics"]
+    for key in ("train/loss", "train/f1", "val/loss", "val/f1"):
+        assert abs(m_ref[key] - m_got[key]) < 1e-5, (key, m_ref[key], m_got[key])

@@ -279,3 +279,23 @@ def test_parity_drill_end_to_end(tmp_path):
     )
     assert not report_bad["ok"]
     assert report_bad["stages"]["cli_labels"]["n_mismatches"] > 0
+
+
+def test_hard_synthetic_mode(tmp_path):
+    """Round-5 de-saturated task: no adapter motif leaks, both labels
+    present, structural decoys generate, and generation is deterministic."""
+    import make_synthetic_dataset as synth
+
+    rng = np.random.default_rng(3)
+    reads = [synth.make_read_hard(rng, bool(i % 2)) for i in range(40)]
+    assert all(synth.ADAPTER not in s for s in reads)
+    assert all(set(s) <= set("ACGT") for s in reads)
+
+    import pyarrow.parquet as pq
+
+    p1 = synth.generate(60, tmp_path / "a.parquet", seed=5, mode="hard")
+    p2 = synth.generate(60, tmp_path / "b.parquet", seed=5, mode="hard")
+    a, b = pq.read_table(p1), pq.read_table(p2)
+    assert a["seq"].to_pylist() == b["seq"].to_pylist()
+    labels = {i.split("|")[1] for i in a["id"].to_pylist()}
+    assert labels == {"0", "1"}

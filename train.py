@@ -151,10 +151,35 @@ def run_sweep(cfg: dict, overrides: list[str]) -> float:
     return best.value if best is not None else float("nan")
 
 
+def _maybe_init_distributed(cfg: dict) -> None:
+    """True multi-process data parallelism (reference: configs/trainer/
+    ddp.yaml + scripts/run_train.sh 1-task-per-GPU): every process
+    contributes its local devices to one global mesh; batches are
+    device_put with a global dp sharding so each process only transfers its
+    own rows.  Must run before ANY jax call initializes the backend, hence
+    the hook at the top of ``main``."""
+    node = cfg.get("trainer") or {}
+    if not (node.get("coordinator") or node.get("num_processes")):
+        return
+    import jax
+
+    if node.get("force_platform"):
+        jax.config.update("jax_platforms", node["force_platform"])
+    from chimeralm_tpu.parallel.dist import initialize
+
+    pi, pc = initialize(
+        node.get("coordinator"),
+        int(node["num_processes"]) if node.get("num_processes") else None,
+        int(node["process_id"]) if node.get("process_id") is not None else None,
+    )
+    log.info(f"distributed training: process {pi}/{pc}")
+
+
 def main(argv: list[str] | None = None) -> float | None:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose("train", overrides)
+    _maybe_init_distributed(cfg)
     extras(cfg)
     out_dir = (cfg.get("paths") or {}).get("output_dir")
     if out_dir:
