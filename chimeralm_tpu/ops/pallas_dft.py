@@ -1637,17 +1637,34 @@ def conv_bwd_pallas(u, k, bias, g, fft_size, interpret: bool = False):
 _FUSED_TRAIN_ENABLED = os.environ.get("CHIMERALM_FUSED_TRAIN", "1") != "0"
 
 
+def _train_route(D: int, L: int, B: int, interpret: bool = False) -> str | None:
+    """Fused-train routing, mirroring the inference mixer: "direct" (the
+    batch-pair kernel at n = next-pow2(2L)) below _MIN_BLOCK_L, "block"
+    (the m-block kernel) above — the exact kernel geometries the inference
+    engine compiles per bucket."""
+    if not (_FUSED_TRAIN_ENABLED and _BLOCK_ENABLED and _BWD_ENABLED):
+        return None
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    if L < _MIN_FUSED_L or not supported_corr(D, L, B, interpret=interpret):
+        return None
+    if L < _MIN_BLOCK_L:
+        if mixer_fused_direct_available(D, L, B, interpret=interpret):
+            n = 1
+            while n < 2 * L:
+                n <<= 1
+            # the bwd z/du convs ride the direct conv kernels at the same n
+            if supported(n, D, L, B) or interpret:
+                return "direct"
+        return None
+    if supported_block(D, L, interpret=interpret):
+        return "block"
+    return None
+
+
 def mixer_train_available(D: int, L: int, B: int, interpret: bool = False) -> bool:
     """True when the fused-train mixer covers (D, L, B) on this backend."""
-    if not (_FUSED_TRAIN_ENABLED and _BLOCK_ENABLED and _BWD_ENABLED):
-        return False
-    if not interpret and jax.default_backend() != "tpu":
-        return False
-    return (
-        L >= _MIN_FUSED_L
-        and supported_block(D, L, interpret=interpret)
-        and supported_corr(D, L, B, interpret=interpret)
-    )
+    return _train_route(D, L, B, interpret) is not None
 
 
 def _sconv_f32(x, wt, b, L: int):
@@ -1682,37 +1699,66 @@ def _sconv_tap_grads(dxc, x, w: int, L: int):
     return dw, dxc.sum(axis=(0, 2))
 
 
+def _train_routing(uc3_shape) -> tuple[str, int]:
+    """(route, size) for the fused-train mixer — a pure function of shapes
+    and backend, so fwd and bwd recompute it instead of carrying statics
+    through the residuals (strings are not JAX types)."""
+    interp = jax.default_backend() != "tpu"
+    B, C3, L = uc3_shape
+    D = C3 // 3
+    route = _train_route(D, L, B, interp)
+    if route is None:
+        # direct callers (tests) bypass the availability gate: block when a
+        # geometry exists, else the pair-direct kernel
+        h = BLOCK_H or _choose_block_h(D, L, interp)
+        route = "block" if h is not None else "direct"
+    if route == "block":
+        return route, BLOCK_H or _choose_block_h(D, L, interp)
+    n = 1
+    while n < 2 * L:
+        n <<= 1
+    return route, n
+
+
+def _train_fwd_value(uc3, short_weight, short_bias, filter_bias, k):
+    """Route + run the fused mixer value; returns (y, route, size, kspec)."""
+    interp = jax.default_backend() != "tpu"
+    route, size = _train_routing(uc3.shape)
+    if route == "block":
+        kspec = block_filter_spectra(k, size)
+        y = mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
+                             h=size, interpret=interp)
+        return y, route, size, kspec
+    kspec = direct_filter_spectra(k, size)
+    y = mixer_conv_fused_direct(uc3, short_weight, short_bias, filter_bias,
+                                kspec, size, interpret=interp)
+    return y, route, size, kspec
+
+
 @jax.custom_vjp
 def mixer_conv_fused_train(uc3, short_weight, short_bias, filter_bias, k):
     """Differentiable fused order-2 mixer core for TRAINING.
 
     Same value contract as ``mixer_conv_fused`` but takes the raw (D, L)
     time-domain filter ``k`` (per-step data from the implicit-filter MLP)
-    and computes the block spectra per step.  All five arguments receive
-    gradients; the long-conv legs of the VJP ride the fused kernels."""
-    interp = jax.default_backend() != "tpu"
-    B, C3, L = uc3.shape
-    D = C3 // 3
-    h = BLOCK_H or _choose_block_h(D, L, interp)
-    kspec = block_filter_spectra(k, h)
-    return mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
-                            h=h, interpret=interp)
+    and computes the spectra per step.  Routing mirrors the inference
+    mixer (pair-direct kernel below _MIN_BLOCK_L, m-block above), so the
+    training step compiles the same kernel geometries the engine already
+    proves per bucket.  All five arguments receive gradients; the
+    long-conv legs of the VJP ride the fused kernels."""
+    return _train_fwd_value(uc3, short_weight, short_bias, filter_bias, k)[0]
 
 
 def _mct_fwd(uc3, short_weight, short_bias, filter_bias, k):
-    interp = jax.default_backend() != "tpu"
-    B, C3, L = uc3.shape
-    D = C3 // 3
-    h = BLOCK_H or _choose_block_h(D, L, interp)
-    kspec = block_filter_spectra(k, h)
-    y = mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
-                         h=h, interpret=interp)
-    return y, (uc3, short_weight, short_bias, filter_bias, k, kspec, h)
+    y, _route, _size, kspec = _train_fwd_value(uc3, short_weight, short_bias,
+                                               filter_bias, k)
+    return y, (uc3, short_weight, short_bias, filter_bias, k, kspec)
 
 
 def _mct_bwd(res, dy):
-    uc3, short_weight, short_bias, filter_bias, k, kspec, h = res
+    uc3, short_weight, short_bias, filter_bias, k, kspec = res
     interp = jax.default_backend() != "tpu"
+    route, size = _train_routing(uc3.shape)
     B, C3, L = uc3.shape
     D = C3 // 3
     w = short_weight.shape[-1]
@@ -1730,16 +1776,28 @@ def _mct_bwd(res, dy):
 
     dy32 = dy.astype(jnp.float32)
     gb = g.astype(uc3.dtype)
-    # z rematerialized + the du leg, both on the block kernel with the
-    # step's cached spectra (the geometry the fused forward already proved)
-    z = dft_conv_pallas_block(gb, k, fb, h=h, interpret=interp,
-                              kspec=kspec).astype(jnp.float32)
+    # z rematerialized + the du leg, on the same kernel family the forward
+    # proved: block kernel with the step's cached spectra, or the direct
+    # kernels at the same fft size (their filter spectrum lives in-kernel)
+    if route == "block":
+        conv = functools.partial(dft_conv_pallas_block, k=k, bias=fb, h=size,
+                                 interpret=interp, kspec=kspec)
+    elif interp:
+        # interpret mode (CPU numerics tests): _select_kernel's lane-
+        # legality rules still apply to the direct kernels, so small test
+        # geometries use the einsum path for the conv legs instead
+        from chimeralm_tpu.ops.matmul_fft import fft_conv_matmul
+
+        conv = lambda u_: fft_conv_matmul(u_, k, fb, size)  # noqa: E731
+    else:
+        conv = lambda u_: dft_conv_pallas(u_, k, fb, size)  # noqa: E731
+    z = conv(gb).astype(jnp.float32)
     dz = dy32 * x0c
     dx0c = dy32 * z
 
     dzb = dz.astype(uc3.dtype)
     dzf = jnp.flip(dzb, axis=-1)
-    dg_r = dft_conv_pallas_block(dzf, k, fb, h=h, interpret=interp, kspec=kspec)
+    dg_r = conv(dzf)
     dk = dft_corr_pallas(gb, dzb, interpret=interp)
     dg = jnp.flip(dg_r, axis=-1).astype(jnp.float32)
     dfb = jnp.einsum("bdl,bdl->d", dz, g)

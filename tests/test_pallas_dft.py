@@ -736,3 +736,41 @@ def test_model_train_route_uses_fused_mixer(monkeypatch):
     assert fired, "fused-train mixer route did not fire"
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_mixer_conv_fused_train_direct_route_value_and_grads():
+    """Fused-train mixer on the DIRECT (batch-pair) route — the small/mid
+    bucket geometry — value and grads vs the unfused composition."""
+    from chimeralm_tpu.ops import pallas_dft as pd
+    from chimeralm_tpu.ops.fft_conv import short_depthwise_conv
+
+    rng = np.random.default_rng(73)
+    B, D, L, W = 2, 4, 1536, 3  # no block geometry at L=1536 -> direct
+    assert (pd.BLOCK_H or pd._choose_block_h(D, L, True)) is None
+    uc3 = jnp.asarray(rng.normal(size=(B, 3 * D, L)), jnp.float32)
+    sw = jnp.asarray(rng.normal(size=(3 * D, 1, W)) * 0.3, jnp.float32)
+    sb = jnp.asarray(rng.normal(size=(3 * D,)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(D, L)) * 0.05, jnp.float32)
+    fbias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, D, L)), jnp.float32)
+
+    def reference(uc3, sw, sb, fbias, k):
+        uc = short_depthwise_conv(uc3, sw, sb)
+        x0, x1, v = uc[:, :D], uc[:, D : 2 * D], uc[:, 2 * D :]
+        g = v * x1
+        n_ref = 1
+        while n_ref < 2 * L:
+            n_ref <<= 1
+        return fft_conv_matmul(g, k, fbias, n_ref) * x0
+
+    ref_val, ref_vjp = jax.vjp(reference, uc3, sw, sb, fbias, k)
+    got_val, got_vjp = jax.vjp(
+        lambda *a: pd.mixer_conv_fused_train(*a), uc3, sw, sb, fbias, k)
+    scale = float(np.abs(ref_val).max())
+    np.testing.assert_allclose(np.asarray(got_val), np.asarray(ref_val),
+                               atol=2e-2 * scale, rtol=1e-3)
+    for name, a, b in zip(["duc3", "dsw", "dsb", "dfb", "dk"],
+                          got_vjp(cot), ref_vjp(cot)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 2e-2 * max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol, rtol=5e-3, err_msg=name)
