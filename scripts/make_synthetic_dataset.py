@@ -66,11 +66,11 @@ def _noisy(rng, seq: str, sub_rate: float, indel_rate: float = 0.0) -> str:
 
 
 def make_read_hard(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000,
-                   sub_rate: float = 0.08) -> str:
+                   sub_rate: float = 0.02, tail_lo: int = 20, tail_hi: int = 200) -> str:
     """De-saturated task variant (round-5: the easy task scored every
     backbone at F1 1.0 and ranked nothing).
 
-    Positives are WGA fold-backs with a SHORT (15-80 bp), NOISY
+    Positives are WGA fold-backs with a SHORT (tail_lo-tail_hi bp), NOISY
     reverse-complement copy and no adapter motif (random 0-6 bp junction
     microhomology instead), so there is no trivially learnable token
     pattern.  Negatives include hard structural decoys:
@@ -90,10 +90,12 @@ def make_read_hard(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000,
     if chimeric:
         a_len = int(rng.integers(n // 3, 2 * n // 3))
         prefix = _random_seq(rng, a_len)
-        tail_len = int(rng.integers(15, 81))
+        # graded difficulty: short noisy copies are near-chance, long ones
+        # clearly detectable -- the spectrum is what spreads the families
+        tail_len = int(rng.integers(tail_lo, tail_hi + 1))
         tail_len = min(tail_len, a_len)
         micro = _random_seq(rng, int(rng.integers(0, 7)))
-        copy = _noisy(rng, revcomp(prefix[-tail_len:]), sub_rate, 0.01)
+        copy = _noisy(rng, revcomp(prefix[-tail_len:]), sub_rate, 0.005)
         rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
         seq = prefix + micro + copy + rest
     else:
@@ -104,21 +106,21 @@ def make_read_hard(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000,
             # forward tandem repeat: duplication WITHOUT reverse complement
             a_len = int(rng.integers(n // 3, 2 * n // 3))
             prefix = _random_seq(rng, a_len)
-            tail_len = min(int(rng.integers(15, 81)), a_len)
+            tail_len = min(int(rng.integers(tail_lo, tail_hi + 1)), a_len)
             micro = _random_seq(rng, int(rng.integers(0, 7)))
-            copy = _noisy(rng, prefix[-tail_len:], sub_rate, 0.01)
+            copy = _noisy(rng, prefix[-tail_len:], sub_rate, 0.005)
             rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
             seq = prefix + micro + copy + rest
         else:
             # trans-junction: revcomp of an UNRELATED sequence spliced in
             a_len = int(rng.integers(n // 3, 2 * n // 3))
             prefix = _random_seq(rng, a_len)
-            seg_len = int(rng.integers(15, 81))
+            seg_len = int(rng.integers(tail_lo, tail_hi + 1))
             micro = _random_seq(rng, int(rng.integers(0, 7)))
-            copy = _noisy(rng, revcomp(_random_seq(rng, seg_len)), sub_rate, 0.01)
+            copy = _noisy(rng, revcomp(_random_seq(rng, seg_len)), sub_rate, 0.005)
             rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
             seq = prefix + micro + copy + rest
-    return _noisy(rng, seq, sub_rate / 2)
+    return _noisy(rng, seq, sub_rate / 2.5)
 
 
 def generate(

@@ -263,21 +263,46 @@ def test_flagship_export_meta_gates(name, ctx):
     assert meta["results"]["test"]["test/f1"] >= 0.93
 
 
-@pytest.mark.parametrize("name", ["cnn", "transformer", "mamba"])
+ZOO_FAMILIES = ["cnn", "transformer", "mamba", "hyena"]
+
+
+@pytest.mark.parametrize("name", ZOO_FAMILIES)
 def test_zoo_backbone_meta_gates(name):
-    """Every secondary backbone trains to quality on the synthetic task.
+    """Every backbone family has a trained artifact + recorded results.
 
     The reference publishes one F1 per backbone family from its real-data
     runs (CNN 0.8763 / Transformer 0.8705, scripts/runforp2.sh:5-14; Mamba
     0.9347, run_eval.sh:30). scripts/train_zoo.py produces the in-framework
-    counterpart; demo/zoo/{name}/meta.json records the held-out results
-    (all >= 0.99 at ctx=2048 on one v5e chip, round 3)."""
+    counterpart on the round-5 HARD synthetic task (short noisy fold-backs
+    + structural decoy negatives — the r3 easy task scored every family
+    1.0 and ranked nothing). Each family must ship its checkpoint (the
+    artifact backing the number) and meta with the dataset mode."""
     import json
 
-    meta_file = Path(__file__).parent.parent / "demo" / "zoo" / name / "meta.json"
-    if not meta_file.exists():
+    d = Path(__file__).parent.parent / "demo" / "zoo" / name
+    if not (d / "meta.json").exists():
         pytest.skip(f"zoo backbone {name} not trained yet")
-    meta = json.loads(meta_file.read_text())
-    assert meta["results"]["test/f1"] >= 0.95
-    assert meta["results"]["test/precision"] >= 0.9
-    assert meta["results"]["test/recall"] >= 0.9
+    meta = json.loads((d / "meta.json").read_text())
+    assert (d / "checkpoint.msgpack").exists(), "results claimed without the artifact"
+    assert meta.get("dataset_mode") == "hard"
+    assert 0.0 <= meta["results"]["test/f1"] <= 1.0
+
+
+def test_zoo_table_is_discriminative():
+    """The zoo benchmark must RANK the families: visible spread below
+    saturation (VERDICT r4: a table where every model scores 1.0 cannot
+    detect a broken backbone), with at least one family demonstrating the
+    task is genuinely learnable."""
+    import json
+
+    table_file = Path(__file__).parent.parent / "demo" / "zoo" / "table.json"
+    if not table_file.exists():
+        pytest.skip("zoo not trained yet")
+    table = json.loads(table_file.read_text())
+    f1s = {k: v["test/f1"] for k, v in table.items() if k in ZOO_FAMILIES}
+    if len(f1s) < 3:
+        pytest.skip(f"only {len(f1s)} families trained")
+    best, worst = max(f1s.values()), min(f1s.values())
+    assert best < 0.9999, f"saturated benchmark: {f1s}"
+    assert best - worst >= 0.03, f"no ranking signal: {f1s}"
+    assert best >= 0.70, f"task not demonstrably learnable: {f1s}"
