@@ -70,34 +70,42 @@ def make_read_hard(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000,
     """De-saturated task variant (round-5: the easy task scored every
     backbone at F1 1.0 and ranked nothing).
 
-    Positives are WGA fold-backs with a SHORT (tail_lo-tail_hi bp), NOISY
-    reverse-complement copy and no adapter motif (random 0-6 bp junction
-    microhomology instead), so there is no trivially learnable token
-    pattern.  Negatives include hard structural decoys:
+    Positives are WGA fold-backs — prefix + junction adapter + noisy
+    reverse-complement copy of the prefix tail (graded tail_lo-tail_hi bp)
+    — with the adapter corrupted at a PER-READ rate drawn from
+    {0, 5, 10, 15, 20, 30}% substitutions.  Detection difficulty therefore
+    forms a continuum: clean adapters are trivial motif lookups, heavily
+    corrupted ones require integrating distributed evidence or exploiting
+    the fold-back structure itself, so held-out recall (and F1) scales
+    with model capability instead of saturating at 1.0.  Negatives include
+    hard structural decoys:
 
-    * forward tandem repeat — the same self-similarity geometry, but the
-      copy is NOT reverse-complemented (a natural repeat, label 0);
-    * trans-junction — a reverse-complement segment of an UNRELATED
-      sequence spliced in (a biological inter-locus chimera, which the
-      reference pipeline deliberately KEEPS, label 0).
+    * forward tandem repeat with a SCRAMBLED adapter (same base
+      composition, order destroyed) — punishes composition-only shortcuts
+      and non-revcomp duplication;
+    * trans-junction with a scrambled adapter — a reverse-complement
+      segment of an UNRELATED sequence (a biological inter-locus chimera,
+      which the reference pipeline deliberately KEEPS, label 0).
 
-    Separating these requires comparing the junction content against the
-    read's own upstream sequence — long-range matching, not motif lookup.
     Everything is additionally corrupted at ``sub_rate`` substitutions +
-    1% indels (the revcomp/repeat copies too), mimicking ONT error.
+    0.5% indels on the copies, mimicking ONT error.  Fully separating the
+    classes requires order-sensitive motif detection at all corruption
+    levels OR comparing the junction against the read's own upstream
+    sequence — a skill gradient, not a lookup.
     """
     n = int(rng.integers(min_len, max_len))
     if chimeric:
         a_len = int(rng.integers(n // 3, 2 * n // 3))
         prefix = _random_seq(rng, a_len)
-        # graded difficulty: short noisy copies are near-chance, long ones
-        # clearly detectable -- the spectrum is what spreads the families
+        # graded difficulty on BOTH axes: adapter corruption level (the
+        # learnable continuum) and copy length (the matching signal)
         tail_len = int(rng.integers(tail_lo, tail_hi + 1))
         tail_len = min(tail_len, a_len)
-        micro = _random_seq(rng, int(rng.integers(0, 7)))
+        rate = float(rng.choice([0.0, 0.05, 0.10, 0.15, 0.20, 0.30]))
+        adapter = _noisy(rng, ADAPTER, rate)
         copy = _noisy(rng, revcomp(prefix[-tail_len:]), sub_rate, 0.005)
-        rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
-        seq = prefix + micro + copy + rest
+        rest = _random_seq(rng, max(n - a_len - len(adapter) - len(copy), 10))
+        seq = prefix + adapter + copy + rest
     else:
         kind = rng.random()
         if kind < 0.4:
@@ -107,19 +115,19 @@ def make_read_hard(rng, chimeric: bool, min_len: int = 300, max_len: int = 2000,
             a_len = int(rng.integers(n // 3, 2 * n // 3))
             prefix = _random_seq(rng, a_len)
             tail_len = min(int(rng.integers(tail_lo, tail_hi + 1)), a_len)
-            micro = _random_seq(rng, int(rng.integers(0, 7)))
+            decoy = "".join(rng.permutation(list(ADAPTER)))
             copy = _noisy(rng, prefix[-tail_len:], sub_rate, 0.005)
-            rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
-            seq = prefix + micro + copy + rest
+            rest = _random_seq(rng, max(n - a_len - len(decoy) - len(copy), 10))
+            seq = prefix + decoy + copy + rest
         else:
             # trans-junction: revcomp of an UNRELATED sequence spliced in
             a_len = int(rng.integers(n // 3, 2 * n // 3))
             prefix = _random_seq(rng, a_len)
             seg_len = int(rng.integers(tail_lo, tail_hi + 1))
-            micro = _random_seq(rng, int(rng.integers(0, 7)))
+            decoy = "".join(rng.permutation(list(ADAPTER)))
             copy = _noisy(rng, revcomp(_random_seq(rng, seg_len)), sub_rate, 0.005)
-            rest = _random_seq(rng, max(n - a_len - len(micro) - len(copy), 10))
-            seq = prefix + micro + copy + rest
+            rest = _random_seq(rng, max(n - a_len - len(decoy) - len(copy), 10))
+            seq = prefix + decoy + copy + rest
     return _noisy(rng, seq, sub_rate / 2.5)
 
 

@@ -282,14 +282,19 @@ def test_parity_drill_end_to_end(tmp_path):
 
 
 def test_hard_synthetic_mode(tmp_path):
-    """Round-5 de-saturated task: no adapter motif leaks, both labels
-    present, structural decoys generate, and generation is deterministic."""
+    """Round-5 de-saturated task: the clean adapter motif never appears in
+    negatives (their junctions carry scrambled decoys), positives span a
+    corruption continuum (some clean, some unrecognizably corrupted), and
+    generation is deterministic."""
     import make_synthetic_dataset as synth
 
     rng = np.random.default_rng(3)
-    reads = [synth.make_read_hard(rng, bool(i % 2)) for i in range(40)]
-    assert all(synth.ADAPTER not in s for s in reads)
-    assert all(set(s) <= set("ACGT") for s in reads)
+    pos = [synth.make_read_hard(rng, True) for _ in range(60)]
+    neg = [synth.make_read_hard(rng, False) for _ in range(60)]
+    assert all(synth.ADAPTER not in s for s in neg)
+    n_clean = sum(synth.ADAPTER in s for s in pos)
+    assert 0 < n_clean < len(pos), "corruption continuum collapsed"
+    assert all(set(s) <= set("ACGT") for s in pos + neg)
 
     import pyarrow.parquet as pq
 
