@@ -437,7 +437,7 @@ def _short_conv_vmem(x, wb, L: int):
 def _dft_conv_block_mixer_kernel(
     x0_ref, x1_ref, v_ref, wb0_ref, wb1_ref, wbv_ref, kbias_ref,
     kr_ref, ki_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
-    out_ref,
+    out_ref, z_ref=None,
     *, n: int, n1: int, n2: int, bc: int, L: int, m: int,
 ):
     """Whole order-2 Hyena mixer core fused around the m-block conv.
@@ -495,6 +495,10 @@ def _dft_conv_block_mixer_kernel(
         if y_prev is not None:
             y = y + y_prev[:, h:]
         y = y + g[:, t * h : (t + 1) * h] * kbias
+        if z_ref is not None:
+            # pre-gate conv output: the training VJP's z residual (saves a
+            # whole conv rematerialization in the backward)
+            z_ref[0, :, t * h : (t + 1) * h] = y.astype(z_ref.dtype)
         y = y * x0c[:, t * h : (t + 1) * h]
         out_ref[0, :, t * h : (t + 1) * h] = y.astype(out_ref.dtype)
 
@@ -509,7 +513,8 @@ def _dft_conv_block_mixer_kernel(
 
 
 def mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
-                     h: int | None = None, interpret: bool = False):
+                     h: int | None = None, interpret: bool = False,
+                     return_z: bool = False):
     """Fused order-2 Hyena mixer core: (B, 3D, L) projections -> (B, D, L).
 
     uc3: ``in_proj`` output in channel-major layout, groups [x0, x1, v]
@@ -555,9 +560,11 @@ def mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
     )
     wb_spec = pl.BlockSpec((bc, w + 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM)
     kspec_spec = pl.BlockSpec((m, bc, n1, n2), lambda c, b: (0, c, 0, 0), memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, D, L), uc3.dtype)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, D, L), uc3.dtype),
+        out_shape=(out_shape, out_shape) if return_z else out_shape,
         grid=(nb, B),
         in_specs=[
             group_spec(0), group_spec(1), group_spec(2),
@@ -568,7 +575,7 @@ def mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
             const_spec((n2, n1)), const_spec((n2, n1)),
             const_spec((n2, n2)), const_spec((n2, n2)),
         ],
-        out_specs=pl.BlockSpec((1, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        out_specs=(io_spec, io_spec) if return_z else io_spec,
         **({"interpret": True} if interpret else {}),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -589,7 +596,7 @@ def mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
 def _dft_conv_pair_mixer_kernel(
     x0_ref, x1_ref, v_ref, wb0_ref, wb1_ref, wbv_ref, kbias_ref,
     kr_ref, ki_ref, f1r_ref, f1i_ref, twTr_ref, twTi_ref, f2r_ref, f2i_ref,
-    out_ref,
+    out_ref, z_ref=None,
     *, n: int, n1: int, n2: int, bc: int, L: int,
 ):
     """Order-2 Hyena mixer core fused around the batch-pair direct conv.
@@ -631,8 +638,13 @@ def _dft_conv_pair_mixer_kernel(
     kbias = kbias_ref[...]
     x0c0 = _short_conv_vmem(x0_ref[0].astype(jnp.float32), wb0, L)
     x0c1 = _short_conv_vmem(x0_ref[1].astype(jnp.float32), wb0, L)
-    out_ref[0] = ((yr[:, :L] + g0 * kbias) * x0c0).astype(out_ref.dtype)
-    out_ref[1] = ((yi[:, :L] + g1 * kbias) * x0c1).astype(out_ref.dtype)
+    z0 = yr[:, :L] + g0 * kbias
+    z1 = yi[:, :L] + g1 * kbias
+    if z_ref is not None:
+        z_ref[0] = z0.astype(z_ref.dtype)
+        z_ref[1] = z1.astype(z_ref.dtype)
+    out_ref[0] = (z0 * x0c0).astype(out_ref.dtype)
+    out_ref[1] = (z1 * x0c1).astype(out_ref.dtype)
 
 
 def mixer_fused_direct_available(D: int, L: int, B: int, interpret: bool = False) -> bool:
@@ -671,7 +683,8 @@ def direct_filter_spectra(k: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndar
 
 
 def mixer_conv_fused_direct(uc3, short_weight, short_bias, filter_bias, kspec,
-                            fft_size: int, interpret: bool = False):
+                            fft_size: int, interpret: bool = False,
+                            return_z: bool = False):
     """Fused order-2 mixer core over the batch-pair direct conv kernel.
 
     Same contract as ``mixer_conv_fused`` (uc3 = raw in_proj output in
@@ -709,9 +722,11 @@ def mixer_conv_fused_direct(uc3, short_weight, short_bias, filter_bias, kspec,
     )
     wb_spec = pl.BlockSpec((bc, w + 1), lambda c, b: (c, 0), memory_space=pltpu.VMEM)
     kspec_spec = pl.BlockSpec((bc, n1, n2), lambda c, b: (c, 0, 0), memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((2, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, D, L), uc3.dtype)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, D, L), uc3.dtype),
+        out_shape=(out_shape, out_shape) if return_z else out_shape,
         grid=(nb, B // 2),
         in_specs=[
             group_spec(0), group_spec(1), group_spec(2),
@@ -722,7 +737,7 @@ def mixer_conv_fused_direct(uc3, short_weight, short_bias, filter_bias, kspec,
             const_spec((n2, n1)), const_spec((n2, n1)),
             const_spec((n2, n2)), const_spec((n2, n2)),
         ],
-        out_specs=pl.BlockSpec((2, bc, L), lambda c, b: (b, c, 0), memory_space=pltpu.VMEM),
+        out_specs=(io_spec, io_spec) if return_z else io_spec,
         **({"interpret": True} if interpret else {}),
         # headroom above the 16M default (the live model sits near it at
         # n = 16384); v5e has 128M VMEM/core
@@ -1720,18 +1735,23 @@ def _train_routing(uc3_shape) -> tuple[str, int]:
     return route, n
 
 
-def _train_fwd_value(uc3, short_weight, short_bias, filter_bias, k):
-    """Route + run the fused mixer value; returns (y, route, size, kspec)."""
+def _train_fwd_value(uc3, short_weight, short_bias, filter_bias, k,
+                     return_z: bool = False):
+    """Route + run the fused mixer value; returns (y, route, size, kspec).
+
+    ``return_z`` additionally emits the pre-gate conv output from the same
+    kernel call (second kernel output) — the VJP's z residual, saving a
+    whole conv rematerialization in the backward."""
     interp = jax.default_backend() != "tpu"
     route, size = _train_routing(uc3.shape)
     if route == "block":
         kspec = block_filter_spectra(k, size)
         y = mixer_conv_fused(uc3, short_weight, short_bias, filter_bias, kspec,
-                             h=size, interpret=interp)
+                             h=size, interpret=interp, return_z=return_z)
         return y, route, size, kspec
     kspec = direct_filter_spectra(k, size)
     y = mixer_conv_fused_direct(uc3, short_weight, short_bias, filter_bias,
-                                kspec, size, interpret=interp)
+                                kspec, size, interpret=interp, return_z=return_z)
     return y, route, size, kspec
 
 
@@ -1750,13 +1770,13 @@ def mixer_conv_fused_train(uc3, short_weight, short_bias, filter_bias, k):
 
 
 def _mct_fwd(uc3, short_weight, short_bias, filter_bias, k):
-    y, _route, _size, kspec = _train_fwd_value(uc3, short_weight, short_bias,
-                                               filter_bias, k)
-    return y, (uc3, short_weight, short_bias, filter_bias, k, kspec)
+    (y, z), _route, _size, kspec = _train_fwd_value(
+        uc3, short_weight, short_bias, filter_bias, k, return_z=True)
+    return y, (uc3, short_weight, short_bias, filter_bias, k, kspec, z)
 
 
 def _mct_bwd(res, dy):
-    uc3, short_weight, short_bias, filter_bias, k, kspec = res
+    uc3, short_weight, short_bias, filter_bias, k, kspec, z = res
     interp = jax.default_backend() != "tpu"
     route, size = _train_routing(uc3.shape)
     B, C3, L = uc3.shape
@@ -1776,9 +1796,10 @@ def _mct_bwd(res, dy):
 
     dy32 = dy.astype(jnp.float32)
     gb = g.astype(uc3.dtype)
-    # z rematerialized + the du leg, on the same kernel family the forward
-    # proved: block kernel with the step's cached spectra, or the direct
-    # kernels at the same fft size (their filter spectrum lives in-kernel)
+    # du leg on the same kernel family the forward proved: block kernel
+    # with the step's cached spectra, or the direct kernels at the same
+    # fft size (their filter spectrum lives in-kernel); z itself came out
+    # of the forward kernel as its second output (no rematerialization)
     if route == "block":
         conv = functools.partial(dft_conv_pallas_block, k=k, bias=fb, h=size,
                                  interpret=interp, kspec=kspec)
@@ -1791,9 +1812,8 @@ def _mct_bwd(res, dy):
         conv = lambda u_: fft_conv_matmul(u_, k, fb, size)  # noqa: E731
     else:
         conv = lambda u_: dft_conv_pallas(u_, k, fb, size)  # noqa: E731
-    z = conv(gb).astype(jnp.float32)
     dz = dy32 * x0c
-    dx0c = dy32 * z
+    dx0c = dy32 * z.astype(jnp.float32)
 
     dzb = dz.astype(uc3.dtype)
     dzf = jnp.flip(dzb, axis=-1)
