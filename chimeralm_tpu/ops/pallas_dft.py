@@ -1650,6 +1650,9 @@ def conv_bwd_pallas(u, k, bias, g, fft_size, interpret: bool = False):
 #: kill switch (CHIMERALM_FUSED_TRAIN=0 restores the round-4 unfused
 #: training forward: XLA short conv + gating + fft_conv_pallas)
 _FUSED_TRAIN_ENABLED = os.environ.get("CHIMERALM_FUSED_TRAIN", "1") != "0"
+# low-precision (input-dtype) elementwise legs in the fused-train backward;
+# reductions still accumulate in f32.  CHIMERALM_BWD_LOWP=0 forces f32.
+_BWD_LOWP = os.environ.get("CHIMERALM_BWD_LOWP", "1") != "0"
 
 
 def _train_route(D: int, L: int, B: int, interpret: bool = False) -> str | None:
@@ -1706,12 +1709,16 @@ def _sconv_transpose(dxc, wt, L: int):
 
 
 def _sconv_tap_grads(dxc, x, w: int, L: int):
-    """(dw, db) of ``_sconv_f32``: dw[c,s] = sum_{b,t} dxc[b,c,t]*xpad[b,c,t+s]."""
+    """(dw, db) of ``_sconv_f32``: dw[c,s] = sum_{b,t} dxc[b,c,t]*xpad[b,c,t+s].
+
+    Inputs may be bf16 (the low-precision backward); the tap/bias
+    reductions accumulate in f32 regardless."""
     xpad = jnp.pad(x, ((0, 0), (0, 0), (w - 1, 0)))
     dw = jnp.stack(
-        [jnp.einsum("bct,bct->c", dxc, xpad[..., s : s + L]) for s in range(w)], axis=-1
+        [jnp.einsum("bct,bct->c", dxc, xpad[..., s : s + L],
+                    preferred_element_type=jnp.float32) for s in range(w)], axis=-1
     )
-    return dw, dxc.sum(axis=(0, 2))
+    return dw, dxc.astype(jnp.float32).sum(axis=(0, 2))
 
 
 def _train_routing(uc3_shape) -> tuple[str, int]:
@@ -1782,19 +1789,27 @@ def _mct_bwd(res, dy):
     B, C3, L = uc3.shape
     D = C3 // 3
     w = short_weight.shape[-1]
-    wt = short_weight[:, 0, :].astype(jnp.float32)  # (3D, W)
-    sb = short_bias.astype(jnp.float32)
+    # Elementwise legs run in the INPUT dtype (bf16 in training — every
+    # pass over a (B, 3D, L) tensor at 16x8192 is 400 MB in f32, and the
+    # main gradient signal already flows through bf16 kernels anyway);
+    # reductions (tap grads, bias grads, dfb) accumulate in f32.
+    # CHIMERALM_BWD_LOWP=0 restores the all-f32 elementwise backward.
+    ct = jnp.float32
+    if _BWD_LOWP and jnp.issubdtype(uc3.dtype, jnp.floating):
+        ct = uc3.dtype
+    wt = short_weight[:, 0, :].astype(ct)  # (3D, W)
+    sb = short_bias.astype(ct)
     fb = filter_bias.astype(jnp.float32)
 
-    x0 = uc3[:, :D].astype(jnp.float32)
-    x1 = uc3[:, D : 2 * D].astype(jnp.float32)
-    v = uc3[:, 2 * D :].astype(jnp.float32)
+    x0 = uc3[:, :D].astype(ct)
+    x1 = uc3[:, D : 2 * D].astype(ct)
+    v = uc3[:, 2 * D :].astype(ct)
     x0c = _sconv_f32(x0, wt[:D], sb[:D], L)
     x1c = _sconv_f32(x1, wt[D : 2 * D], sb[D : 2 * D], L)
     vc = _sconv_f32(v, wt[2 * D :], sb[2 * D :], L)
     g = vc * x1c
 
-    dy32 = dy.astype(jnp.float32)
+    dy32 = dy.astype(ct)
     gb = g.astype(uc3.dtype)
     # du leg on the same kernel family the forward proved: block kernel
     # with the step's cached spectra, or the direct kernels at the same
@@ -1813,14 +1828,14 @@ def _mct_bwd(res, dy):
     else:
         conv = lambda u_: dft_conv_pallas(u_, k, fb, size)  # noqa: E731
     dz = dy32 * x0c
-    dx0c = dy32 * z.astype(jnp.float32)
+    dx0c = dy32 * z.astype(ct)
 
     dzb = dz.astype(uc3.dtype)
     dzf = jnp.flip(dzb, axis=-1)
     dg_r = conv(dzf)
     dk = dft_corr_pallas(gb, dzb, interpret=interp)
-    dg = jnp.flip(dg_r, axis=-1).astype(jnp.float32)
-    dfb = jnp.einsum("bdl,bdl->d", dz, g)
+    dg = jnp.flip(dg_r, axis=-1).astype(ct)
+    dfb = jnp.einsum("bdl,bdl->d", dz, g, preferred_element_type=jnp.float32)
 
     dvc = dg * x1c
     dx1c = dg * vc
